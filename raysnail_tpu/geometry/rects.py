@@ -1,0 +1,70 @@
+"""Batched axis-aligned rectangle intersection.
+
+The reference's AARect family (src/hittable/geometry/rect.rs) stores an axis
+permutation (a0, a1, k); here the group keeps a per-primitive k-axis index and
+selects ray components with gathers, so XY/XZ/YZ rects share one dense test.
+Light sampling on XZ rects lives in the light-sampling module.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raysnail_tpu.geometry import hit as hitlib
+from raysnail_tpu.geometry.hit import BIG, Hit
+from raysnail_tpu.prelude.vec import Vec3
+
+
+class RectGroup(NamedTuple):
+    k_axis: jax.Array   # (R,) int32: 0=YZ-rect(x=k), 1=XZ-rect(y=k), 2=XY-rect(z=k)
+    k: jax.Array        # (R,) plane coordinate
+    a0: jax.Array       # (R,) bounds along axis (k+1)%3
+    a1: jax.Array
+    b0: jax.Array       # (R,) bounds along axis (k+2)%3
+    b1: jax.Array
+    mat_id: jax.Array
+    active: jax.Array
+
+
+def _comp(v: Vec3, axis):
+    """Select per-lane component by axis index array (broadcasting)."""
+    return jnp.where(axis == 0, v.x, jnp.where(axis == 1, v.y, v.z))
+
+
+def intersect(group: RectGroup, ray, t_min, t_max) -> Hit:
+    o = ray.origin.map(lambda a: a[:, None])
+    d = ray.direction.map(lambda a: a[:, None])
+    k_axis = group.k_axis[None, :]
+    a_axis = (k_axis + 1) % 3
+    b_axis = (k_axis + 2) % 3
+
+    dk = _comp(d, k_axis)
+    dk = jnp.where(jnp.abs(dk) < 1e-12, jnp.where(dk < 0, -1e-12, 1e-12), dk)
+    t = (group.k[None, :] - _comp(o, k_axis)) / dk
+    pa = _comp(o, a_axis) + t * _comp(d, a_axis)
+    pb = _comp(o, b_axis) + t * _comp(d, b_axis)
+    ok = (
+        group.active[None, :]
+        & (t_min < t) & (t < t_max)
+        & (pa >= group.a0[None, :]) & (pa <= group.a1[None, :])
+        & (pb >= group.b0[None, :]) & (pb <= group.b1[None, :])
+    )
+    t = jnp.where(ok, t, BIG)
+
+    idx = jnp.argmin(t, axis=1)
+    rows = jnp.arange(t.shape[0])
+    t_best = t[rows, idx]
+    valid = t_best < BIG
+
+    ksel = group.k_axis[idx]
+    geom_n = Vec3(
+        jnp.where(ksel == 0, 1.0, 0.0),
+        jnp.where(ksel == 1, 1.0, 0.0),
+        jnp.where(ksel == 2, 1.0, 0.0),
+    )
+    u = (pa[rows, idx] - group.a0[idx]) / (group.a1[idx] - group.a0[idx])
+    v = (pb[rows, idx] - group.b0[idx]) / (group.b1[idx] - group.b0[idx])
+    return hitlib.finalize(ray.direction, t_best, geom_n, u, v, group.mat_id[idx], valid)
