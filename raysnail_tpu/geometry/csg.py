@@ -1,0 +1,229 @@
+"""Constructive solid geometry: vectorized interval logic over static trees.
+
+The reference's Intersection/Difference (src/hittable/csg/) hit both children,
+sort by entry t, and use `contains(point)` probes to pick the visible surface.
+Scene compile lowers each CSG object (with its transform pushed down to the
+leaves) into a static Python tree of leaf nodes; hit/contains evaluation
+unrolls the tree at trace time, so the device code is straight-line selects —
+no recursion, no vtables.
+
+Leaf kinds match what the reference SDL grammar can put inside CSG: spheres,
+boxes (possibly oriented), and quadrics (transforms baked into coefficients).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raysnail_tpu.geometry import boxes, quadrics, spheres
+from raysnail_tpu.geometry.hit import BIG, Hit
+from raysnail_tpu.prelude.vec import Vec3
+
+
+class CsgHit(NamedTuple):
+    """A child hit inside CSG evaluation: the reference's full HitRecord
+    including the exit distance t2 (hit.rs:16-17)."""
+    t1: jax.Array
+    t2: jax.Array
+    valid: jax.Array
+    normal: Vec3       # flipped against the ray (like HitRecord)
+    u: jax.Array
+    v: jax.Array
+    mat_id: jax.Array
+    outside: jax.Array
+
+    def to_hit(self) -> Hit:
+        t = jnp.where(self.valid, self.t1, BIG)
+        return Hit(t=t, valid=self.valid, normal=self.normal, u=self.u,
+                   v=self.v, mat_id=self.mat_id, outside=self.outside)
+
+    @staticmethod
+    def select(mask, a: "CsgHit", b: "CsgHit") -> "CsgHit":
+        return jax.tree_util.tree_map(
+            lambda x, y: Vec3.where(mask, x, y) if isinstance(x, Vec3) else jnp.where(mask, x, y),
+            a, b, is_leaf=lambda x: isinstance(x, Vec3),
+        )
+
+
+# -- leaves ----------------------------------------------------------------
+
+class SphereLeaf(NamedTuple):
+    center: Vec3       # scalars
+    radius: jax.Array
+    mat_id: int        # static; -1 = inherit
+
+    def hit(self, ray, t_min, t_max) -> CsgHit:
+        t1, t2, valid = spheres.interval(self.center, self.radius, ray, t_min, t_max)
+        p = ray.origin + ray.direction * t1
+        geom_n = spheres.normal_at(self.center, self.radius, p)
+        outside = ray.direction.dot(geom_n) < 0.0
+        n = Vec3.where(outside, geom_n, -geom_n)
+        u, v = spheres.sphere_uv(p - self.center)
+        mid = jnp.full(jnp.shape(t1), self.mat_id, jnp.int32)
+        return CsgHit(t1, t2, valid, n, u, v, mid, outside)
+
+    def contains(self, p: Vec3):
+        return spheres.contains(self.center, self.radius, p)
+
+    def normal_at(self, p: Vec3) -> Vec3:
+        return spheres.normal_at(self.center, self.radius, p)
+
+
+class BoxLeaf(NamedTuple):
+    p_min: Vec3
+    p_max: Vec3
+    inv_rows: tuple | None   # orientation (None = axis-aligned)
+    inv_off: Vec3 | None
+    mat_id: int
+
+    def hit(self, ray, t_min, t_max) -> CsgHit:
+        t1, t2, valid, axis, near_sel, d_obj, o_obj = boxes.interval(
+            self.p_min, self.p_max, ray, t_min, t_max, self.inv_rows, self.inv_off
+        )
+        n = boxes.normal_of(axis, near_sel, d_obj, self.inv_rows)
+        # slab normals already face the ray; outside = entered from outside
+        p_obj = o_obj + d_obj * t1
+        span = (self.p_max - self.p_min).map(lambda c: jnp.where(jnp.abs(c) < 1e-12, 1.0, c))
+        rel = (p_obj - self.p_min) / span
+        comps = jnp.stack([rel.x, rel.y, rel.z], -1)
+        a0 = (axis + 1) % 3
+        a1 = (axis + 2) % 3
+        u = jnp.take_along_axis(comps, a0[..., None], -1)[..., 0]
+        v = jnp.take_along_axis(comps, a1[..., None], -1)[..., 0]
+        mid = jnp.full(jnp.shape(t1), self.mat_id, jnp.int32)
+        return CsgHit(t1, t2, valid, n, u, v, mid, near_sel)
+
+    def contains(self, p: Vec3):
+        return boxes.contains(self.p_min, self.p_max, p, self.inv_rows, self.inv_off)
+
+    def normal_at(self, p: Vec3) -> Vec3:
+        # Box::normal is a fixed +y (box.rs:117-119) — replicated for the
+        # difference-exit synthetic hit.
+        shape = jnp.shape(p.x)
+        return Vec3.full((0.0, 1.0, 0.0), shape, p.dtype)
+
+
+class QuadricLeaf(NamedTuple):
+    coeffs: quadrics.Coeffs
+    mat_id: int
+
+    def hit(self, ray, t_min, t_max) -> CsgHit:
+        t1, t2, valid = quadrics.interval(self.coeffs, ray, t_min, t_max)
+        p = ray.origin + ray.direction * t1
+        geom_n = quadrics.normal_at(self.coeffs, p)
+        outside = ray.direction.dot(geom_n) < 0.0
+        n = Vec3.where(outside, geom_n, -geom_n)
+        z = jnp.zeros_like(t1)
+        mid = jnp.full(jnp.shape(t1), self.mat_id, jnp.int32)
+        return CsgHit(t1, t2, valid, n, z, z, mid, outside)
+
+    def contains(self, p: Vec3):
+        return quadrics.contains(self.coeffs, p)
+
+    def normal_at(self, p: Vec3) -> Vec3:
+        return quadrics.normal_at(self.coeffs, p)
+
+
+# -- internal nodes --------------------------------------------------------
+
+class IntersectionNode(NamedTuple):
+    left: object
+    right: object
+    mat_id: int   # override applied when the child hit has mat_id < 0
+
+    def hit(self, ray, t_min, t_max) -> CsgHit:
+        """intersection.rs:58-96."""
+        h1 = self.left.hit(ray, t_min, t_max)
+        h2 = self.right.hit(ray, t_min, t_max)
+        both = h1.valid & h2.valid
+        first_is_1 = h1.t1 < h2.t1
+        near = CsgHit.select(first_is_1, h1, h2)
+        far = CsgHit.select(first_is_1, h2, h1)
+
+        p_near = ray.origin + ray.direction * near.t1
+        p_far = ray.origin + ray.direction * far.t1
+        # contains() of the farther OBJECT at the nearer point, and vice versa
+        c_other_at_near = jnp.where(
+            first_is_1, self.right.contains(p_near), self.left.contains(p_near)
+        )
+        c_near_at_far = jnp.where(
+            first_is_1, self.left.contains(p_far), self.right.contains(p_far)
+        )
+        use_near = both & c_other_at_near
+        use_far = both & (~c_other_at_near) & c_near_at_far
+
+        out = CsgHit.select(use_near, near, far)
+        out = out._replace(valid=use_near | use_far)
+        return _override_material(out, self.mat_id)
+
+    def contains(self, p: Vec3):
+        return self.left.contains(p) & self.right.contains(p)
+
+    def normal_at(self, p: Vec3) -> Vec3:
+        return self.left.normal_at(p)
+
+
+class DifferenceNode(NamedTuple):
+    plus: object
+    minus: object
+    mat_id: int
+    minus_mat_id: int  # material() of the minus child for the synthetic hit
+
+    def hit(self, ray, t_min, t_max) -> CsgHit:
+        """difference.rs:57-106."""
+        hp = self.plus.hit(ray, t_min, t_max)
+        hm = self.minus.hit(ray, t_min, t_max)
+
+        p_plus = ray.origin + ray.direction * hp.t1
+        plus_first = hp.t1 < hm.t1
+
+        only_plus = hp.valid & (~hm.valid)
+        case_b = hp.valid & hm.valid & plus_first & (~self.minus.contains(p_plus))
+        case_c = hp.valid & hm.valid & (~plus_first) & (hm.t2 < hp.t1)
+        case_d = (
+            hp.valid & hm.valid & (~plus_first)
+            & (hm.t2 >= hp.t1) & (hm.t2 < hp.t2)
+        )
+
+        use_plus = only_plus | case_b | case_c
+
+        # synthetic exit-of-minus hit (difference.rs:85-105): normal is the
+        # NEGATED minus.normal(p), uv = (0,0), outside = true, material = minus's
+        t_syn = hm.t2
+        p_syn = ray.origin + ray.direction * t_syn
+        n_syn = -self.minus.normal_at(p_syn)
+        z = jnp.zeros_like(t_syn)
+        syn = CsgHit(
+            t1=t_syn, t2=hp.t2, valid=case_d, normal=n_syn, u=z, v=z,
+            mat_id=jnp.full(jnp.shape(t_syn), self.minus_mat_id, jnp.int32),
+            outside=jnp.ones(jnp.shape(t_syn), bool),
+        )
+        out = CsgHit.select(use_plus, hp, syn)
+        out = out._replace(valid=use_plus | case_d)
+        return _override_material(out, self.mat_id)
+
+    def contains(self, p: Vec3):
+        return self.plus.contains(p) & (~self.minus.contains(p))
+
+    def normal_at(self, p: Vec3) -> Vec3:
+        return self.plus.normal_at(p)
+
+
+def _override_material(h: CsgHit, mat_id: int) -> CsgHit:
+    """HitRecord::set_material_if_none (hit.rs:69-77)."""
+    if mat_id < 0:
+        return h
+    return h._replace(mat_id=jnp.where(h.mat_id < 0, mat_id, h.mat_id))
+
+
+def intersect_trees(trees, ray, t_min, t_max) -> Hit:
+    """Closest hit over a tuple of CSG trees (unrolled; scenes have few)."""
+    from raysnail_tpu.geometry.hit import combine_hits, miss
+
+    best = miss(jnp.shape(ray.direction.x), ray.direction.dtype)
+    for tree in trees:
+        best = combine_hits(best, tree.hit(ray, t_min, t_max).to_hit())
+    return best

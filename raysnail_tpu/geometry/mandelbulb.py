@@ -1,0 +1,137 @@
+"""Power-8 Mandelbulb distance-field (reference: src/hittable/geometry/raymarching.rs).
+
+The reference sphere-traces with per-ray early exits: DE steps of 0.05*DE,
+a 200-step linear fine search and an 8-level binary search once the estimate
+drops below 1.3 (raymarching.rs:108-160, 56-73). That scalar control flow is
+re-expressed TPU-first as a fixed-trip-count masked march (SURVEY.md sect.7
+"unbounded loops"):
+
+  * clip the ray to the bounding sphere r=1.3 (raymarching.rs:167-176);
+  * lax.while_loop sphere tracing with per-lane done masks, surface threshold
+    instead of the linear+binary fine search (converges to the same surface);
+  * DE = 0.5 ln(r) r / dr with the reference's exact iteration including its
+    quirk of starting the orbit at the origin (raymarching.rs:195-241);
+  * central-difference normal with d=0.01 (raymarching.rs:79-91), spherical uv.
+
+DE_ITERATIONS is 24 instead of the reference's 100: the escape-time bailout
+makes extra iterations matter only deep inside the set, and fixed-trip TPU
+lanes pay for all of them; 24 is visually indistinguishable at benchmark spp.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raysnail_tpu.geometry import hit as hitlib
+from raysnail_tpu.geometry.hit import BIG, Hit
+from raysnail_tpu.geometry.spheres import sphere_uv
+from raysnail_tpu.prelude.vec import Vec3
+
+POWER = 8.0
+BAILOUT = 8.0
+RADIUS = 1.3
+DE_ITERATIONS = 24
+MAX_STEPS = 128
+SURF_EPS = 1e-3
+STEP_SCALE = 0.5
+
+
+def distance_est(p: Vec3, iterations: int = DE_ITERATIONS):
+    """0.5 ln(r) r / dr with the reference's orbit (raymarching.rs:188-241):
+    starts at the origin, adds p each iteration, bails at |v|^2 > 8."""
+    x = jnp.zeros_like(p.x)
+    y = jnp.zeros_like(p.x)
+    z = jnp.zeros_like(p.x)
+    r = jnp.zeros_like(p.x)
+    dr = jnp.zeros_like(p.x)
+    escaped = jnp.zeros(jnp.shape(p.x), bool)
+
+    def body(_, state):
+        x, y, z, r, dr, escaped = state
+        r_new = jnp.sqrt(x * x + y * y + z * z)
+        theta = jnp.arctan2(jnp.sqrt(x * x + y * y), z) * POWER
+        phi = jnp.arctan2(y, x) * POWER
+        rp = jnp.power(r_new, POWER)
+        dr_new = jnp.power(r_new, POWER - 1.0) * POWER * dr + 1.0
+        st = jnp.sin(theta)
+        xn = rp * st * jnp.cos(phi) + p.x
+        yn = rp * st * jnp.sin(phi) + p.y
+        zn = rp * jnp.cos(theta) + p.z
+        esc_now = xn * xn + yn * yn + zn * zn > BAILOUT
+        keep = ~escaped
+        return (
+            jnp.where(keep, xn, x), jnp.where(keep, yn, y), jnp.where(keep, zn, z),
+            jnp.where(keep, rp, r), jnp.where(keep, dr_new, dr),
+            escaped | esc_now,
+        )
+
+    x, y, z, r, dr, escaped = jax.lax.fori_loop(
+        0, iterations, body, (x, y, z, r, dr, escaped)
+    )
+    r = jnp.maximum(r, 1e-12)
+    dr = jnp.maximum(dr, 1e-12)
+    de = 0.5 * jnp.log(r) * r / dr
+    de = jnp.where(jnp.isnan(de), 0.1, de)  # NaN guard (raymarching.rs:131-133)
+    return de, ~escaped  # (distance estimate, inside-set flag)
+
+
+class MandelbulbNode(NamedTuple):
+    mat_id: int
+
+    def hit(self, ray, t_min, t_max) -> Hit:
+        o, d = ray.origin, ray.direction
+        # clip to the bounding sphere at the origin (raymarching.rs:167-176)
+        half_b = d.dot(o)
+        c = o.length_squared() - RADIUS * RADIUS
+        delta = half_b * half_b - c
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        t_enter = jnp.maximum(-half_b - sq, t_min)
+        t_exit = -half_b + sq
+        in_bbox = (delta > 0.0) & (t_exit > t_min) & (t_enter < t_max)
+
+        t0 = jnp.where(in_bbox, t_enter, BIG)
+
+        def body(state):
+            t, done, hit_mask = state
+            p = o + d * t
+            de, _ = distance_est(p)
+            hit_now = (~done) & (de < SURF_EPS)
+            overshoot = (~done) & (t > t_exit)
+            t_next = jnp.where(done, t, t + jnp.maximum(de * STEP_SCALE, 1e-5))
+            done_next = done | hit_now | overshoot
+            return t_next, done_next, hit_mask | hit_now
+
+        done0 = ~in_bbox
+        # bounded while: fold the step budget into the loop with a counter
+        def cond2(state):
+            t, done, hm, i = state
+            return (i < MAX_STEPS) & jnp.any(~done)
+
+        def body2(state):
+            t, done, hm, i = state
+            t, done, hm = body((t, done, hm))
+            return t, done, hm, i + 1
+
+        t, done, hit_mask, _ = jax.lax.while_loop(
+            cond2, body2,
+            (t0, done0, jnp.zeros(jnp.shape(t0), bool), jnp.asarray(0, jnp.int32)),
+        )
+        valid = hit_mask & (t > t_min) & (t < t_max)
+        t = jnp.where(valid, t, BIG)
+
+        p = o + d * t
+        dd = 0.01
+        ex = Vec3.full((dd, 0.0, 0.0), (), p.dtype)
+        ey = Vec3.full((0.0, dd, 0.0), (), p.dtype)
+        ez = Vec3.full((0.0, 0.0, dd), (), p.dtype)
+        geom_n = Vec3(
+            distance_est(p + ex)[0] - distance_est(p - ex)[0],
+            distance_est(p + ey)[0] - distance_est(p - ey)[0],
+            distance_est(p + ez)[0] - distance_est(p - ez)[0],
+        ).unit()
+        u, v = sphere_uv(p)
+        mid = jnp.full(jnp.shape(t), self.mat_id, jnp.int32)
+        return hitlib.finalize(d, t, geom_n, u, v, mid, valid)

