@@ -1,16 +1,23 @@
-"""L6 execution engine: the painter equivalent.
+"""L6 execution engine: the painter equivalent + multi-pass adaptive driver.
 
 The reference's Painter owns pixel iteration, stratified sampling, row-
-interleaved threading, and streaming (src/painter.rs). Here the whole frame is
-a handful of device dispatches: each dispatch renders ALL pixels for a chunk
-of stratification cells (static shapes), and sample chunks accumulate into an
-f32 radiance-sum framebuffer. Multi-pass adaptive oversampling and tiling
-across a device mesh build on this in render passes / parallel modules.
+interleaved threading and streaming (src/painter.rs); its CLI wraps that in a
+multi-pass adaptive-oversampling loop (src/bin/raysnail.rs:311-427). Here the
+whole frame is a handful of device dispatches: each dispatch renders a chunk
+of (pixel, stratification-cell) work with static shapes, and sample chunks
+accumulate into an f32 radiance-sum framebuffer.
+
+Adaptive passes: the reference computes a 5x5 noise metric and a redo map,
+but its RedoController clones the map BEFORE the pass loop and never sees
+updates (raysnail.rs:369-372 vs 405-424) — so the reference re-renders every
+pixel each pass. We implement the evidently-intended behavior: later passes
+re-render only pixels whose noise exceeds the threshold, with the active
+pixel set COMPACTED host-side (padded to a power of two to bound retraces) so
+sparse passes really are cheaper — the TPU equivalent of the redo map.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -29,21 +36,14 @@ from raysnail_tpu.prelude.vec import Vec3
 def make_sample_step(scene: scenelib.Scene, cfg: RenderConfig):
     """Build the jitted per-chunk render step.
 
-    step(arrays, camera, key, sample_ids) -> radiance sums, shape (H*W,) Vec3,
-    where sample_ids is a static-length chunk of stratification cell indices
-    in [0, sqrt_spp^2)."""
+    step(arrays, camera, key, sample_ids, px, py) -> Vec3 of radiance sums per
+    pixel, shape (P,). sample_ids is a static-length chunk of stratification
+    cells in [0, sqrt_spp^2); px/py are flat pixel coordinates (P,)."""
     w, h = cfg.width, cfg.height
     sqrt_spp = cfg.sqrt_spp
 
     @jax.jit
-    def step(arrays: scenelib.SceneArrays, camera: Camera, key, sample_ids):
-        py, px = jnp.meshgrid(
-            jnp.arange(h, dtype=cfg.dtype), jnp.arange(w, dtype=cfg.dtype),
-            indexing="ij",
-        )
-        px = px.ravel()
-        py = py.ravel()
-
+    def step(arrays: scenelib.SceneArrays, camera: Camera, key, sample_ids, px, py):
         def one_sample(sid):
             s_i = (sid % sqrt_spp).astype(cfg.dtype)
             s_j = (sid // sqrt_spp).astype(cfg.dtype)
@@ -55,38 +55,128 @@ def make_sample_step(scene: scenelib.Scene, cfg: RenderConfig):
             )
             return integrator.radiance(scene, arrays, cfg, ray, ks)
 
-        sums = jax.lax.map(one_sample, sample_ids)  # (k, H*W) Vec3
+        sums = jax.lax.map(one_sample, sample_ids)  # (k, P) Vec3
         return sums.map(lambda a: jnp.sum(a, axis=0))
 
     return step
 
 
-def render(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
-           seed: int = 0,
-           arrays: Optional[scenelib.SceneArrays] = None,
-           progress: Optional[Callable[[int, int], None]] = None) -> np.ndarray:
-    """Render a full frame -> (H, W, 3) float32 display image (gamma applied).
+def _full_grid(cfg: RenderConfig):
+    py, px = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width), indexing="ij")
+    return px.ravel().astype(np.float32), py.ravel().astype(np.float32)
 
-    `arrays` may override scene.arrays (e.g. perturbed differentiable params).
-    `progress(done_samples, total_samples)` streams completion like the
-    reference's PainterTarget row callback."""
+
+def _sample_chunks(cfg: RenderConfig, n_pix: int):
+    """Chunk size k dividing spp so every dispatch shares one trace."""
     spp = cfg.effective_samples
-    step = make_sample_step(scene, cfg)
-    arrays = arrays if arrays is not None else scene.arrays
-    key = prng.key(seed)
-
-    # chunk stratification cells so each dispatch stays within ray_batch rays;
-    # k divides spp so every chunk has the same static length (one trace)
-    n_pix = cfg.width * cfg.height
     k_max = max(1, min(spp, cfg.ray_batch // max(n_pix, 1)))
-    k = max(d for d in range(1, k_max + 1) if spp % d == 0)
+    return max(d for d in range(1, k_max + 1) if spp % d == 0)
+
+
+def render_sums(scene, camera, cfg, seed, px, py, step=None,
+                arrays=None, key=None) -> Vec3:
+    """Radiance SUMS over all effective samples for the given pixel list."""
+    spp = cfg.effective_samples
+    step = step or make_sample_step(scene, cfg)
+    arrays = arrays if arrays is not None else scene.arrays
+    key = key if key is not None else prng.key(seed)
+    px = jnp.asarray(px, cfg.dtype)
+    py = jnp.asarray(py, cfg.dtype)
+
+    k = _sample_chunks(cfg, px.shape[0])
     accum = None
     for start in range(0, spp, k):
         ids = jnp.arange(start, start + k, dtype=jnp.int32)
-        sums = step(arrays, camera, key, ids)
+        sums = step(arrays, camera, key, ids, px, py)
         accum = sums if accum is None else accum + sums
-        if progress is not None:
-            progress(min(spp, start + k), spp)
+    return accum
 
-    img = colorlib.into_color(accum, float(spp), cfg.gamma)
+
+def render(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
+           seed: int = 0, arrays=None) -> np.ndarray:
+    """Single-pass full frame -> (H, W, 3) float32 display image."""
+    px, py = _full_grid(cfg)
+    accum = render_sums(scene, camera, cfg, seed, px, py, arrays=arrays)
+    img = colorlib.into_color(accum, float(cfg.effective_samples), cfg.gamma)
     return np.asarray(img.to_array()).reshape(cfg.height, cfg.width, 3)
+
+
+# -- multi-pass adaptive oversampling ---------------------------------------
+
+def calc_noise(img: np.ndarray, compat_bug: bool = False) -> np.ndarray:
+    """Per-pixel noise: sum over the 5x5 neighborhood of squared RGB distance
+    to the center (raysnail.rs:138-173). Out-of-bounds neighbors count 0.
+    compat_bug=True replicates `let x = y` (raysnail.rs:163), which makes the
+    window columns track the row index."""
+    h, w, _ = img.shape
+    noise = np.zeros((h, w), np.float32)
+    if not compat_bug:
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                shifted = np.zeros_like(img)
+                ys = slice(max(0, dy), h + min(0, dy))
+                yd = slice(max(0, -dy), h + min(0, -dy))
+                xs = slice(max(0, dx), w + min(0, dx))
+                xd = slice(max(0, -dx), w + min(0, -dx))
+                shifted[yd, xd] = img[ys, xs]
+                # out-of-bounds -> same as center -> zero diff
+                mask = np.zeros((h, w, 1), np.float32)
+                mask[yd, xd] = 1.0
+                diff = (img - shifted) * mask
+                noise += np.sum(diff * diff, axis=-1)
+    else:
+        ys, xs = np.mgrid[0:h, 0:w]
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                yy = ys + dy
+                xx = ys + dx  # the reference's x = y bug
+                inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+                nb = img[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
+                diff = np.where(inb[..., None], img - nb, 0.0)
+                noise += np.sum(diff * diff, axis=-1)
+    return noise
+
+
+def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
+                  seed: int = 0, arrays=None,
+                  progress: Optional[Callable] = None) -> np.ndarray:
+    """Multi-pass render with adaptive oversampling (raysnail.rs:379-427):
+    pass k re-renders flagged pixels and running-averages display colors
+    (old*k + new)/(k+1)."""
+    spp = cfg.effective_samples
+    step = make_sample_step(scene, cfg)
+    px_full, py_full = _full_grid(cfg)
+    h, w = cfg.height, cfg.width
+
+    accum = render_sums(scene, camera, cfg, seed, px_full, py_full, step=step,
+                        arrays=arrays)
+    img = np.asarray(
+        colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
+    ).reshape(h, w, 3)
+    if progress is not None:
+        progress(spp, spp * cfg.passes, img)
+
+    for k in range(1, cfg.passes):
+        redo = calc_noise(img, cfg.compat_noise_bug) >= cfg.noise_threshold
+        n_active = int(redo.sum())
+        if n_active == 0:
+            break
+        idx = np.flatnonzero(redo.ravel())
+        # pad the active set to a power of two (bounds the number of traces)
+        padded = 1 << (int(n_active - 1).bit_length())
+        padded = min(padded, h * w)
+        idx_p = np.pad(idx, (0, padded - n_active), mode="edge")
+        px = px_full[idx_p]
+        py = py_full[idx_p]
+
+        sums = render_sums(scene, camera, cfg, seed + k, px, py, step=step,
+                           arrays=arrays)
+        new_img = np.asarray(
+            colorlib.into_color(sums, float(spp), cfg.gamma).to_array()
+        )[:n_active]
+        flat = img.reshape(-1, 3)
+        flat[idx] = (flat[idx] * k + new_img) / (k + 1.0)
+        img = flat.reshape(h, w, 3)
+        if progress is not None:
+            progress(spp * (k + 1), spp * cfg.passes, img)
+    return img
