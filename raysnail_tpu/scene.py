@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raysnail_tpu import ir, lights as lightslib, materials as matlib, textures as texlib
-from raysnail_tpu.geometry import boxes, csg, media as medialib, quadrics, rects, spheres
+from raysnail_tpu.geometry import boxes, csg, media as medialib, quadrics, rects, spheres, triangles
 from raysnail_tpu.geometry import transforms as tf
 from raysnail_tpu.geometry.hit import Hit, combine_hits, miss
 from raysnail_tpu.prelude import rng as prng
@@ -48,6 +48,7 @@ class SceneArrays(NamedTuple):
     boxes: Optional[boxes.BoxGroup]
     rects: Optional[rects.RectGroup]
     quadrics: Optional[quadrics.QuadricGroup]
+    triangles: Optional[triangles.TriangleGroup]
     materials: matlib.MaterialTable
     textures: texlib.TextureTable
     lights: Optional[lightslib.LightArrays]
@@ -96,6 +97,8 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key) -> Hit:
         best = combine_hits(best, rects.intersect(arrays.rects, ray, t_min, t_max))
     if arrays.quadrics is not None:
         best = combine_hits(best, quadrics.intersect(arrays.quadrics, ray, t_min, t_max))
+    if arrays.triangles is not None:
+        best = combine_hits(best, triangles.intersect(arrays.triangles, ray, t_min, t_max))
     if scene.csg_trees:
         best = combine_hits(best, csg.intersect_trees(scene.csg_trees, ray, t_min, t_max))
     if scene.media:
@@ -251,7 +254,7 @@ def _perlin_tables(spec: ir.Noise):
 def _compile(builder: SceneBuilder, dtype) -> Scene:
     tables = _Tables()
 
-    sph, box_list, rect_list, quad_list = [], [], [], []
+    sph, box_list, rect_list, quad_list, mesh_list = [], [], [], [], []
     csg_trees, media_nodes, bulbs = [], [], []
     moving = False
 
@@ -316,7 +319,8 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             mat = tables.material(obj.material)
             bulbs.append(MandelbulbNode(mat_id=mat))
         elif isinstance(obj, ir.Mesh):
-            raise NotImplementedError("meshes land with the BVH module")
+            mat = tables.material(obj.material)
+            mesh_list.append((obj, mat))
         else:
             raise TypeError(f"unknown object {obj!r}")
 
@@ -384,6 +388,10 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             mat_id=jnp.asarray([q[1] for q in quad_list], jnp.int32),
             active=jnp.ones(len(quad_list), bool),
         )
+
+    tri_group = None
+    if mesh_list:
+        tri_group = _build_triangles(mesh_list, f32)
 
     # light list
     light_arrays = None
@@ -460,7 +468,8 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
 
     arrays = SceneArrays(
         spheres=sphere_group, boxes=box_group, rects=rect_group,
-        quadrics=quad_group, materials=material_table, textures=texture_table,
+        quadrics=quad_group, triangles=tri_group,
+        materials=material_table, textures=texture_table,
         lights=light_arrays, background=builder.background,
     )
     static = SceneStatic(
@@ -474,6 +483,61 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
     )
     return Scene(arrays=arrays, static=static, csg_trees=tuple(csg_trees),
                  media=tuple(media_nodes), mandelbulbs=tuple(bulbs))
+
+
+def _build_triangles(mesh_list, f32):
+    """Merge all meshes into one triangle pool + one BVH; reorder per-face
+    data into BVH leaf order (padding rows get mat_id = -2)."""
+    from raysnail_tpu.accel.bvh import build_bvh
+    from raysnail_tpu.io.obj import vertex_normals
+
+    all_p0, all_p1, all_p2 = [], [], []
+    all_n0, all_n1, all_n2 = [], [], []
+    all_mat = []
+    for spec, mat in mesh_list:
+        v = np.asarray(spec.vertices, np.float64)
+        faces = np.asarray(spec.indices, np.int32)
+        n = spec.normals
+        if n is None:
+            n = vertex_normals(v, faces)
+        else:
+            n = np.asarray(n, np.float64)
+        all_p0.append(v[faces[:, 0]]); all_p1.append(v[faces[:, 1]]); all_p2.append(v[faces[:, 2]])
+        all_n0.append(n[faces[:, 0]]); all_n1.append(n[faces[:, 1]]); all_n2.append(n[faces[:, 2]])
+        all_mat.append(np.full(len(faces), mat, np.int32))
+
+    p0 = np.concatenate(all_p0); p1 = np.concatenate(all_p1); p2 = np.concatenate(all_p2)
+    n0 = np.concatenate(all_n0); n1 = np.concatenate(all_n1); n2 = np.concatenate(all_n2)
+    mat = np.concatenate(all_mat)
+
+    bb_min = np.minimum(np.minimum(p0, p1), p2)
+    bb_max = np.maximum(np.maximum(p0, p1), p2)
+    bvh = build_bvh(bb_min, bb_max)
+
+    order = bvh.prim_order
+    pad = order < 0
+    safe = np.where(pad, 0, order)
+
+    def reorder(a, padval=0.0):
+        out = a[safe].copy()
+        out[pad] = padval
+        return out
+
+    p0o = reorder(p0); p1o = reorder(p1); p2o = reorder(p2)
+    return triangles.TriangleGroup(
+        p0=Vec3.from_array(f32(p0o)),
+        edge_a=Vec3.from_array(f32(p0o - p1o)),
+        edge_d=Vec3.from_array(f32(p0o - p2o)),
+        n0=Vec3.from_array(f32(reorder(n0))),
+        n1=Vec3.from_array(f32(reorder(n1))),
+        n2=Vec3.from_array(f32(reorder(n2))),
+        mat_id=jnp.asarray(np.where(pad, -2, mat[safe]).astype(np.int32)),
+        bb_min=Vec3.from_array(jnp.asarray(bvh.bb_min)),
+        bb_max=Vec3.from_array(jnp.asarray(bvh.bb_max)),
+        first=jnp.asarray(bvh.first),
+        count=jnp.asarray(bvh.count),
+        miss=jnp.asarray(bvh.miss),
+    )
 
 
 def _combine_tf(parent, own):
