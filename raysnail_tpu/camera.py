@@ -88,10 +88,10 @@ def build_camera(
     )
 
 
-def camera_ray(cam: Camera, u, v, key) -> Ray:
+def camera_ray(cam: Camera, u, v, keys) -> Ray:
     """Generate rays through viewport coords (u, v) with lens + time jitter
-    (camera.rs:77-85). u, v are arrays of any (matching) shape."""
-    u1, u2, u3 = prng.uniforms(prng.fold(key, prng.LENS), 3, jnp.shape(u))
+    (camera.rs:77-85). keys is a batch of per-ray keys (see prelude.rng)."""
+    u1, u2, u3 = prng.ray_uniforms(prng.fold_all(keys, prng.LENS), 3)
     dx, dy = sampling.unit_disk(u1, u2)
     half_ap = cam.aperture * 0.5
     offset = cam.horizontal_unit * (dx * half_ap) + cam.vertical_unit * (dy * half_ap)
@@ -103,10 +103,10 @@ def camera_ray(cam: Camera, u, v, key) -> Ray:
     return Ray(origin=origin, direction=direction, time=time)
 
 
-def pixel_uv(px, py, s_i, s_j, sqrt_spp: int, width: int, height: int, key):
+def pixel_uv(px, py, s_i, s_j, sqrt_spp: int, width: int, height: int, keys):
     """Stratified subpixel -> viewport uv with y flip
     (painter.rs:131-139, 165-179)."""
-    j1, j2 = prng.uniforms(prng.fold(key, prng.RAYGEN), 2, jnp.shape(px))
+    j1, j2 = prng.ray_uniforms(prng.fold_all(keys, prng.RAYGEN), 2)
     inv_s = 1.0 / sqrt_spp
     xo = px + (s_i + j1) * inv_s
     yo = py + (s_j + j2) * inv_s
@@ -121,8 +121,10 @@ def generate_rays(
     sqrt_spp: int,
     width: int,
     height: int,
-    key,
+    keys,
 ) -> Ray:
-    """Full ray-generation stage: pixel + strat cell -> jittered camera ray."""
-    u, v = pixel_uv(px, py, s_i, s_j, sqrt_spp, width, height, key)
-    return camera_ray(cam, u, v, key)
+    """Full ray-generation stage: pixel + strat cell -> jittered camera ray.
+    `keys` is the per-ray key batch (prng.per_ray_keys of pixel ids folded
+    with the sample id), making rays shard/tile-invariant."""
+    u, v = pixel_uv(px, py, s_i, s_j, sqrt_spp, width, height, keys)
+    return camera_ray(cam, u, v, keys)

@@ -1,0 +1,81 @@
+"""Inverse-rendering: differentiable loss + optax train step.
+
+Gradient strategy (SURVEY.md sect.7 step 9): all RNG draws are counter-based
+and independent of parameters; DISCRETE choices (light-vs-BSDF branch, light
+pick, mixed-material resolve, dielectric reflect-vs-refract, hit selection)
+are integer/boolean and naturally carry no gradient; CONTINUOUS maps stay
+attached, so fuzz/IOR/lobe parameters get reparameterized pathwise gradients
+through the sampled directions, and albedo/emitter parameters flow through
+throughput weights. Mesh-BVH and Mandelbulb hits run in lax.while_loop
+(non-reversible) and are stop_gradient'd — geometry gradients are out of
+scope anyway.
+
+The bounce loop is a lax.scan, so reverse-mode checkpoints per bounce.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from raysnail_tpu import render as renderlib
+from raysnail_tpu import scene as scenelib
+from raysnail_tpu.camera import Camera, generate_rays
+from raysnail_tpu.config import RenderConfig
+from raysnail_tpu.diff.params import SceneParams, extract_params, inject_params
+from raysnail_tpu.integrator import radiance
+from raysnail_tpu.prelude import color as colorlib
+from raysnail_tpu.prelude import rng as prng
+from raysnail_tpu.prelude.vec import Vec3
+
+
+def render_image_diff(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
+                      params: SceneParams, key, sample_ids) -> Vec3:
+    """Differentiable mean-radiance image (flat (H*W,) Vec3, linear — no
+    gamma) for a chunk of stratification cells."""
+    arrays = inject_params(scene.arrays, params)
+    w, h = cfg.width, cfg.height
+    py, px = jnp.meshgrid(jnp.arange(h, dtype=cfg.dtype),
+                          jnp.arange(w, dtype=cfg.dtype), indexing="ij")
+    sums = renderlib.sample_sums(scene, cfg, arrays, camera, key, sample_ids,
+                                 px.ravel(), py.ravel())
+    n = sample_ids.shape[0]
+    return sums * (1.0 / n)
+
+
+def make_loss_fn(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
+                 target: jnp.ndarray):
+    """L2 image loss vs a target (H, W, 3) LINEAR-radiance image."""
+    target_flat = Vec3.from_array(jnp.asarray(target, cfg.dtype).reshape(-1, 3))
+
+    def loss_fn(params: SceneParams, key, sample_ids):
+        img = render_image_diff(scene, camera, cfg, params, key, sample_ids)
+        d = img - target_flat
+        return 0.5 * jnp.mean(d.dot(d))
+
+    return loss_fn
+
+
+def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
+                    target, optimizer=None):
+    """-> (step, opt_state0, params0). step(params, opt_state, key, ids) ->
+    (params, opt_state, loss). Jitted; gradient flows through the full bounce
+    loop."""
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+    loss_fn = make_loss_fn(scene, camera, cfg, target)
+    params0 = extract_params(scene.arrays)
+    opt_state0 = optimizer.init(params0)
+
+    @jax.jit
+    def step(params, opt_state, key, sample_ids):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key, sample_ids)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, opt_state0, params0

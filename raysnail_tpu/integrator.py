@@ -47,8 +47,11 @@ N_UNIFORMS = 6 + 2 + 2 * matlib.REJECT_TRIES + 1
 
 
 def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
-             cfg: RenderConfig, ray: Ray, key) -> Vec3:
-    """Per-ray radiance estimate after up to cfg.max_depth bounces."""
+             cfg: RenderConfig, ray: Ray, keys) -> Vec3:
+    """Per-ray radiance estimate after up to cfg.max_depth bounces.
+    `keys` is the per-ray key batch (N, ...): every draw folds in the bounce
+    index and a purpose tag, so the estimate for a given (pixel, sample) is
+    independent of batch tiling and mesh sharding."""
     shape = jnp.shape(ray.direction.x)
     static = scene.static
     kinds = static.mat_kinds
@@ -56,7 +59,7 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     def bounce(carry, b):
         o, d, time, T, L, alive = carry
         r = Ray(origin=o, direction=d, time=time)
-        kb = jax.random.fold_in(key, b)
+        kb = prng.fold_all(keys, b)
 
         hit = scenelib.intersect(scene, arrays, r, cfg.t_min, cfg.t_max, kb)
 
@@ -65,7 +68,7 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         missed = alive & (~hit.valid)
         L = L + Vec3.where(missed, T * bg, Vec3.zeros(shape, T.dtype))
 
-        u = prng.uniforms(prng.fold(kb, prng.SCATTER), N_UNIFORMS, shape)
+        u = prng.ray_uniforms(prng.fold_all(kb, prng.SCATTER), N_UNIFORMS)
 
         mat_id = matlib.resolve(arrays.materials, hit.mat_id, u[_U_MIX])
         rows = matlib.gather(arrays.materials, mat_id)

@@ -7,9 +7,11 @@ use JAX's counter-based threefry keys derived deterministically from
 shard-invariant enough for testing, and keeps every draw a pure function —
 required for jit/grad and for sharding the ray batch across a device mesh.
 
-Convention: one base key per render pass; derive sub-keys by folding in small
-integer tags. Per-ray decorrelation comes from drawing array-shaped uniforms
-(shape = ray batch), not from per-ray keys — one threefry sweep per draw.
+Convention: one base key per render pass; every RAY owns a key derived by
+folding in its (pixel_id, sample_id), and per-bounce/purpose sub-keys fold in
+further tags. Because draws are keyed by ray identity rather than position in
+the batch, renders are INVARIANT to batch tiling and mesh sharding — the same
+(seed, pixel, sample) always sees the same stream on 1 chip or N.
 """
 
 from __future__ import annotations
@@ -47,3 +49,22 @@ def uniforms(k: jax.Array, n: int, shape=(), dtype=jnp.float32):
     """n independent U[0,1) arrays of the given shape (single threefry sweep)."""
     u = jax.random.uniform(k, (n,) + tuple(shape), dtype)
     return tuple(u[i] for i in range(n))
+
+
+# -- per-ray counter-based keys --------------------------------------------
+
+def per_ray_keys(k: jax.Array, ids) -> jax.Array:
+    """One key per ray: fold the ray's integer identity into the base key.
+    ids is any int array (N,); result is a batch of keys (N, ...)."""
+    return jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.asarray(ids, jnp.uint32))
+
+
+def fold_all(keys: jax.Array, tag) -> jax.Array:
+    """Fold a (scalar or traced) tag into a batch of per-ray keys."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)
+
+
+def ray_uniforms(keys: jax.Array, n: int, dtype=jnp.float32):
+    """n U[0,1) draws per ray from per-ray keys -> tuple of n (N,) arrays."""
+    u = jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype))(keys)
+    return tuple(u[:, i] for i in range(n))

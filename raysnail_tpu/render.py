@@ -33,30 +33,39 @@ from raysnail_tpu.prelude import rng as prng
 from raysnail_tpu.prelude.vec import Vec3
 
 
-def make_sample_step(scene: scenelib.Scene, cfg: RenderConfig):
-    """Build the jitted per-chunk render step.
-
-    step(arrays, camera, key, sample_ids, px, py) -> Vec3 of radiance sums per
-    pixel, shape (P,). sample_ids is a static-length chunk of stratification
-    cells in [0, sqrt_spp^2); px/py are flat pixel coordinates (P,)."""
+def sample_sums(scene: scenelib.Scene, cfg: RenderConfig,
+                arrays: scenelib.SceneArrays, camera: Camera, key,
+                sample_ids, px, py) -> Vec3:
+    """Radiance sums over the given stratification cells for the given flat
+    pixel coordinates — the traceable core shared by the jitted single-chip
+    step and the shard_map'd multi-chip step. Returns a (P,) Vec3."""
     w, h = cfg.width, cfg.height
     sqrt_spp = cfg.sqrt_spp
+    pixel_ids = (py.astype(jnp.int32) * w + px.astype(jnp.int32))
+
+    def one_sample(sid):
+        s_i = (sid % sqrt_spp).astype(cfg.dtype)
+        s_j = (sid // sqrt_spp).astype(cfg.dtype)
+        # per-ray keys from (seed, sample_id, pixel_id): shard-invariant
+        keys = prng.per_ray_keys(jax.random.fold_in(key, sid), pixel_ids)
+        ray = generate_rays(
+            camera, px, py,
+            jnp.full_like(px, s_i), jnp.full_like(py, s_j),
+            sqrt_spp, w, h, keys,
+        )
+        return integrator.radiance(scene, arrays, cfg, ray, keys)
+
+    sums = jax.lax.map(one_sample, sample_ids)  # (k, P) Vec3
+    return sums.map(lambda a: jnp.sum(a, axis=0))
+
+
+def make_sample_step(scene: scenelib.Scene, cfg: RenderConfig):
+    """Jitted single-device render step:
+    step(arrays, camera, key, sample_ids, px, py) -> (P,) Vec3 sums."""
 
     @jax.jit
     def step(arrays: scenelib.SceneArrays, camera: Camera, key, sample_ids, px, py):
-        def one_sample(sid):
-            s_i = (sid % sqrt_spp).astype(cfg.dtype)
-            s_j = (sid // sqrt_spp).astype(cfg.dtype)
-            ks = jax.random.fold_in(key, sid)
-            ray = generate_rays(
-                camera, px, py,
-                jnp.full_like(px, s_i), jnp.full_like(py, s_j),
-                sqrt_spp, w, h, ks,
-            )
-            return integrator.radiance(scene, arrays, cfg, ray, ks)
-
-        sums = jax.lax.map(one_sample, sample_ids)  # (k, P) Vec3
-        return sums.map(lambda a: jnp.sum(a, axis=0))
+        return sample_sums(scene, cfg, arrays, camera, key, sample_ids, px, py)
 
     return step
 

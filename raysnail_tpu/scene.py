@@ -82,7 +82,8 @@ class Scene:
 def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key) -> Hit:
     """Closest hit across all primitive groups. `arrays` is passed separately
     so a jitted caller can thread traced arrays while `scene` supplies the
-    static structure."""
+    static structure. `key` is the per-ray key batch (only media draw from
+    it)."""
     best = miss(jnp.shape(ray.direction.x), ray.direction.x.dtype)
     if arrays.spheres is not None:
         best = combine_hits(
@@ -98,17 +99,20 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key) -> Hit:
     if arrays.quadrics is not None:
         best = combine_hits(best, quadrics.intersect(arrays.quadrics, ray, t_min, t_max))
     if arrays.triangles is not None:
-        best = combine_hits(best, triangles.intersect(arrays.triangles, ray, t_min, t_max))
+        # lax.while_loop traversal is not reverse-differentiable; geometry
+        # gradients are out of scope, so detach the mesh hit entirely
+        tri_hit = triangles.intersect(arrays.triangles, ray, t_min, t_max)
+        best = combine_hits(best, jax.lax.stop_gradient(tri_hit))
     if scene.csg_trees:
         best = combine_hits(best, csg.intersect_trees(scene.csg_trees, ray, t_min, t_max))
     if scene.media:
-        us = prng.uniforms(prng.fold(key, prng.MEDIUM), len(scene.media),
-                           jnp.shape(ray.direction.x))
+        us = prng.ray_uniforms(prng.fold_all(key, prng.MEDIUM), len(scene.media))
         best = combine_hits(
             best, medialib.intersect_media(scene.media, ray, t_min, t_max, us)
         )
     for bulb in scene.mandelbulbs:
-        best = combine_hits(best, bulb.hit(ray, t_min, t_max))
+        # same while_loop caveat as meshes: detached
+        best = combine_hits(best, jax.lax.stop_gradient(bulb.hit(ray, t_min, t_max)))
     return best
 
 

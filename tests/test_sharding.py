@@ -1,0 +1,94 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raysnail_tpu import ir
+from raysnail_tpu.camera import build_camera
+from raysnail_tpu.config import RenderConfig
+from raysnail_tpu.parallel import make_mesh, make_sharded_train_step, render_sharded
+from raysnail_tpu.render import render
+from raysnail_tpu.scene import SceneBuilder
+
+CFG = RenderConfig(width=32, height=16, samples=4, max_depth=3, ray_batch=1 << 14)
+
+
+def scene_and_cam():
+    b = SceneBuilder()
+    b.add(ir.Sphere((0.0, -100.5, -1.0), 100.0, ir.Lambertian(ir.Constant((0.5, 0.5, 0.5)))))
+    b.add(ir.Sphere((0.0, 0.0, -1.0), 0.5, ir.Metal(ir.Constant((0.8, 0.7, 0.6)))))
+    b.add(ir.Sphere((2.0, 2.0, 0.0), 0.7, ir.DiffuseLight(ir.Constant((1, 1, 1)), 4.0)),
+          light=True)
+    scene = b.compile()
+    cam = build_camera(look_from=(0, 0, 1), look_at=(0, 0, -1), fov=50,
+                       width=CFG.width, height=CFG.height)
+    return scene, cam
+
+
+def test_mesh_factoring():
+    m = make_mesh(devices=jax.devices())
+    assert m.shape["tile"] * m.shape["sample"] == 8
+    m2 = make_mesh(n_tile=8, devices=jax.devices())
+    assert m2.shape["sample"] == 1
+
+
+def test_sharded_render_matches_shape_and_finite():
+    scene, cam = scene_and_cam()
+    mesh = make_mesh(devices=jax.devices())
+    img = render_sharded(scene, cam, CFG, mesh, seed=0)
+    assert img.shape == (CFG.height, CFG.width, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
+
+
+def test_sharded_render_consistent_across_mesh_shapes():
+    """Different tile/sample splits must agree statistically (same scene,
+    different RNG partitions)."""
+    scene, cam = scene_and_cam()
+    cfg = CFG.replace(samples=16)
+    img_a = render_sharded(scene, cam, cfg, make_mesh(n_tile=8, devices=jax.devices()), seed=0)
+    img_b = render_sharded(scene, cam, cfg, make_mesh(n_tile=2, devices=jax.devices()), seed=0)
+    # same pixels, same cells, same RNG keys -> identical up to reduction order
+    np.testing.assert_allclose(img_a, img_b, atol=2e-5)
+
+
+def test_sharded_matches_single_device():
+    scene, cam = scene_and_cam()
+    mesh = make_mesh(n_tile=8, devices=jax.devices())  # sample axis = 1
+    img_sharded = render_sharded(scene, cam, CFG, mesh, seed=0)
+    img_single = render(scene, cam, CFG, seed=0)
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-5)
+
+
+def test_sharded_train_step_runs_and_reduces_loss():
+    scene, cam = scene_and_cam()
+    mesh = make_mesh(devices=jax.devices())
+    target = render_sharded(scene, cam, CFG.replace(gamma=False), mesh, seed=0)
+
+    import optax
+
+    step, opt_state, params = make_sharded_train_step(
+        scene, cam, CFG, target, mesh, optimizer=optax.adam(3e-2)
+    )
+    key = jax.random.PRNGKey(0)
+    p = params
+    losses = []
+    for _ in range(3):
+        p, opt_state, loss = step(p, opt_state, key)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    # loss at the true params is ~0 at identical RNG; perturbation comes only
+    # from optimizer steps, so first loss must be tiny
+    assert losses[0] < 1e-4
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    leaves = jax.tree_util.tree_leaves(out)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    ge.dryrun_multichip(8)
