@@ -21,12 +21,20 @@ from raysnail_tpu.prelude.vec import Vec3
 class RectGroup(NamedTuple):
     k_axis: jax.Array   # (R,) int32: 0=YZ-rect(x=k), 1=XZ-rect(y=k), 2=XY-rect(z=k)
     k: jax.Array        # (R,) plane coordinate
-    a0: jax.Array       # (R,) bounds along axis (k+1)%3
-    a1: jax.Array
-    b0: jax.Array       # (R,) bounds along axis (k+2)%3
+    a0: jax.Array       # (R,) bounds along the a-axis (reference rect.rs:58-80:
+    a1: jax.Array       #      yz->(a=y,b=z), xz->(a=x,b=z), xy->(a=x,b=y))
+    b0: jax.Array       # (R,) bounds along the b-axis
     b1: jax.Array
     mat_id: jax.Array
     active: jax.Array
+
+
+def _ab_axes(k_axis):
+    """Reference axis tuples (rect.rs:58-80): k=0 -> (1,2); k=1 -> (0,2);
+    k=2 -> (0,1)."""
+    a_axis = jnp.where(k_axis == 0, 1, 0)
+    b_axis = jnp.where(k_axis == 2, 1, 2)
+    return a_axis, b_axis
 
 
 def _comp(v: Vec3, axis):
@@ -38,8 +46,7 @@ def intersect(group: RectGroup, ray, t_min, t_max) -> Hit:
     o = ray.origin.map(lambda a: a[:, None])
     d = ray.direction.map(lambda a: a[:, None])
     k_axis = group.k_axis[None, :]
-    a_axis = (k_axis + 1) % 3
-    b_axis = (k_axis + 2) % 3
+    a_axis, b_axis = _ab_axes(k_axis)
 
     dk = _comp(d, k_axis)
     dk = jnp.where(jnp.abs(dk) < 1e-12, jnp.where(dk < 0, -1e-12, 1e-12), dk)

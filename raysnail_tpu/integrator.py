@@ -90,7 +90,8 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         # -- pdf path ------------------------------------------------------
         bsdf_dir = matlib.bsdf_sample(rows, d, hit.normal, u[_U_BSDF0:], kinds)
         if static.has_lights:
-            light_raw = lightslib.sample(
+            sampler = lightslib.sample_proper if cfg.proper_mis else lightslib.sample
+            light_raw = sampler(
                 arrays.lights, p, u[_U_PICK], u[_U_L1], u[_U_L2], static.light_kinds
             )
             light_dir = light_raw.unit()
@@ -105,8 +106,9 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         val = matlib.bsdf_pdf_value(rows, d, hit.normal, pdf_dir, kinds)
 
         if cfg.proper_mis and static.has_lights:
-            # one-sample MIS: denominator = mixture density
-            p_light = _light_pdf_value(arrays.lights, p, pdf_dir, static.light_kinds)
+            # one-sample MIS: denominator = the true mixture density of the
+            # combined sampler, with the real solid-angle light pdf
+            p_light = lightslib.pdf_value(arrays.lights, p, pdf_dir, static.light_kinds)
             denom = (
                 cfg.light_sample_prob * p_light
                 + (1.0 - cfg.light_sample_prob) * val
@@ -144,12 +146,3 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     )
     # rays still alive after the budget contribute nothing (camera.rs:161-163)
     return L
-
-
-def _light_pdf_value(lights, origin: Vec3, direction: Vec3, kinds):
-    """True solid-angle pdf of the light sampler — used only by proper_mis.
-    Approximates each light as its sampling disk/area (the reference has no
-    correct implementation at all: pdf.rs:254-263 falls back to a cosine)."""
-    # placeholder until the proper solid-angle pdf lands with the MIS
-    # milestone; matches the compat constant meanwhile.
-    return jnp.full(jnp.shape(direction.x), 1.0 / PI)

@@ -145,7 +145,9 @@ class Box:
 
 @dataclasses.dataclass(frozen=True)
 class Rect:
-    """Axis-aligned rect: k_axis 0=YZ(x=k), 1=XZ(y=k), 2=XY(z=k)."""
+    """Axis-aligned rect: k_axis 0=YZ(x=k), 1=XZ(y=k), 2=XY(z=k).
+    (a0,a1)/(b0,b1) bounds follow the reference's axis tuples
+    (rect.rs:58-80): yz->(a=y,b=z), xz->(a=x,b=z), xy->(a=x,b=y)."""
     k_axis: int
     k: float
     a0: float

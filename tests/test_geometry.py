@@ -230,7 +230,7 @@ class TestRects:
         h = rects.intersect(g, ray, TMIN, TMAX)
         np.testing.assert_allclose(float(h.t[0]), 3.0, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(h.normal.to_array())[0], [0, 1, 0], atol=1e-6)
-        # uv: a-axis is (k+1)%3 = z, b-axis = x
+        # xz rect: a-axis = x, b-axis = z (rect.rs:66-72)
         np.testing.assert_allclose([float(h.u[0]), float(h.v[0])], [0.75, 0.75], atol=1e-5)
 
     def test_outside_bounds(self):
