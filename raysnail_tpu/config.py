@@ -58,6 +58,7 @@ class RenderConfig:
     # Execution ------------------------------------------------------------
     ray_batch: int = 1 << 17     # rays per device dispatch (tile_pixels * spp chunk)
     use_pallas: str = "auto"     # "auto" | "never" | "force" (force => interpret off-TPU)
+    rng: str = "fast"            # "fast" (counter-hash) | "threefry" (jax.random)
 
     # Adaptive oversampling (multi-pass) ------------------------------------
     passes: int = 1

@@ -55,7 +55,7 @@ def pair_t(group: SphereGroup, origin: Vec3, direction: Vec3, time, t_min, t_max
 
 
 def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
-              chunk: int = 512) -> Hit:
+              chunk: int = 512, need_uv: bool = True) -> Hit:
     """Closest sphere hit per ray. Group arrays must be padded to a multiple
     of `chunk` (scene compile guarantees this)."""
     n = jnp.shape(ray.direction.x)[0]
@@ -100,7 +100,11 @@ def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
 
     p = ray.origin + ray.direction * t_best
     geom_n = (p - center) * (1.0 / radius)
-    u, v = sphere_uv(p - center)
+    if need_uv:  # atan2/asin are pricey; only image textures read sphere uv
+        u, v = sphere_uv(p - center)
+    else:
+        u = jnp.zeros_like(t_best)
+        v = u
     return hitlib.finalize(ray.direction, t_best, geom_n, u, v, mat_id, valid)
 
 

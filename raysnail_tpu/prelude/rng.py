@@ -52,19 +52,59 @@ def uniforms(k: jax.Array, n: int, shape=(), dtype=jnp.float32):
 
 
 # -- per-ray counter-based keys --------------------------------------------
+#
+# Two interchangeable backends, dispatched on the key representation:
+#   * "threefry": per-ray jax.random keys, shape (N, 2) — crypto-grade,
+#     ~10x more VPU work per draw;
+#   * "fast" (default): a (N,) uint32 stream hashed with the murmur3 fmix32
+#     avalanche finalizer over golden-ratio-separated counters — the classic
+#     GPU-renderer construction; passes the moment/correlation tests and
+#     keeps the identical keying semantics (seed, sample, pixel, bounce,
+#     purpose, slot), so renders stay shard/tile-invariant.
+
+_PHI = jnp.uint32(0x9E3779B9)   # 2^32 / golden ratio
+
+
+def _fmix32(x):
+    """murmur3 finalizer: full avalanche on uint32."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
 
 def per_ray_keys(k: jax.Array, ids) -> jax.Array:
-    """One key per ray: fold the ray's integer identity into the base key.
-    ids is any int array (N,); result is a batch of keys (N, ...)."""
+    """Threefry backend: one jax.random key per ray."""
     return jax.vmap(lambda i: jax.random.fold_in(k, i))(jnp.asarray(ids, jnp.uint32))
 
 
+def fast_streams(k: jax.Array, ids) -> jax.Array:
+    """Fast backend: (N,) uint32 streams from a base key + ray identities.
+    The base key is digested once with threefry (cheap, per dispatch)."""
+    k_arr = jnp.asarray(k)
+    seed = k_arr.ravel() if k_arr.dtype == jnp.uint32 else jax.random.key_data(k).ravel()
+    base = jnp.asarray(seed[0], jnp.uint32) ^ (jnp.asarray(seed[-1], jnp.uint32) * _PHI)
+    return _fmix32(base ^ (jnp.asarray(ids, jnp.uint32) * _PHI))
+
+
 def fold_all(keys: jax.Array, tag) -> jax.Array:
-    """Fold a (scalar or traced) tag into a batch of per-ray keys."""
+    """Fold a (possibly traced) integer tag into a batch of per-ray keys."""
+    if keys.ndim == 1:  # fast backend
+        t = jnp.asarray(tag, jnp.uint32)
+        return _fmix32(keys ^ (t * _PHI + jnp.uint32(0x7F4A7C15)))
     return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)
 
 
 def ray_uniforms(keys: jax.Array, n: int, dtype=jnp.float32):
-    """n U[0,1) draws per ray from per-ray keys -> tuple of n (N,) arrays."""
+    """n U[0,1) draws per ray -> tuple of n (N,) arrays."""
+    if keys.ndim == 1:  # fast backend: one finalize per slot
+        out = []
+        for i in range(n):
+            h = _fmix32(keys + jnp.uint32(i) * jnp.uint32(0x632BE5AB))
+            out.append((h >> 8).astype(dtype) * dtype(1.0 / (1 << 24)))
+        return tuple(out)
     u = jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype))(keys)
     return tuple(u[:, i] for i in range(n))

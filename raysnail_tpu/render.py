@@ -47,7 +47,11 @@ def sample_sums(scene: scenelib.Scene, cfg: RenderConfig,
         s_i = (sid % sqrt_spp).astype(cfg.dtype)
         s_j = (sid // sqrt_spp).astype(cfg.dtype)
         # per-ray keys from (seed, sample_id, pixel_id): shard-invariant
-        keys = prng.per_ray_keys(jax.random.fold_in(key, sid), pixel_ids)
+        base = jax.random.fold_in(key, sid)
+        if cfg.rng == "fast":
+            keys = prng.fast_streams(base, pixel_ids)
+        else:
+            keys = prng.per_ray_keys(base, pixel_ids)
         ray = generate_rays(
             camera, px, py,
             jnp.full_like(px, s_i), jnp.full_like(py, s_j),

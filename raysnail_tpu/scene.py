@@ -90,7 +90,8 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key) -> Hit:
             best,
             spheres.intersect(arrays.spheres, ray, t_min, t_max,
                               moving=scene.static.moving,
-                              chunk=scene.static.sphere_chunk),
+                              chunk=scene.static.sphere_chunk,
+                              need_uv=texlib.IMAGE in scene.static.tex_modes),
         )
     if arrays.boxes is not None:
         best = combine_hits(best, boxes.intersect(arrays.boxes, ray, t_min, t_max))
