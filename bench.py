@@ -1,22 +1,21 @@
-"""Benchmark driver: canonical workload on the available accelerator.
+"""Benchmark driver.
 
-Workload (BASELINE.md): sdl/example.sdl at 800x500, --samples 65 => 64
-effective spp, depth 8 — the reference's README invocation. Metric:
-Mrays/s/chip counting PRIMARY rays (pixels x effective spp) per wall-clock
-second of steady-state rendering (compile time excluded; the compile is
+Default: the canonical workload (BASELINE.md) — sdl/example.sdl at 800x500,
+--samples 65 => 64 effective spp, depth 8 — and ONE JSON line on stdout:
+{"metric", "value", "unit", "vs_baseline"}. Metric counts PRIMARY rays
+(pixels x spp) per steady-state wall-clock second (compile excluded,
 reported to stderr).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and this image
-has no Rust toolchain to measure it, so the baseline is pinned to an
-ESTIMATE of the reference on this machine's 2 vCPUs: ~0.5 Mrays/s primary
-(row-threaded f64 tracer at num_cpus+1 threads on comparable scenes).
-Refine when a measured number exists.
+--all additionally measures the other four BASELINE.md configs (book-1
+balls, quadric+transforms SDL, OBJ-style mesh + area light, Mandelbulb with
+adaptive passes) and writes BENCH_DETAILS.json next to this file.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline: the reference publishes no numbers and this image has no Rust
+toolchain to measure it; the baseline is pinned to an ESTIMATE of the
+reference on this machine's 2 vCPUs: ~0.5 Mrays/s primary (row-threaded f64
+tracer at num_cpus+1 threads). Refine when a measured number exists.
 
-Env:
-  RAYSNAIL_BENCH_CPU=1     force the CPU backend (debug)
-  RAYSNAIL_BENCH_SMALL=1   tiny config (smoke-testing the harness)
+Env: RAYSNAIL_BENCH_CPU=1 forces CPU; RAYSNAIL_BENCH_SMALL=1 shrinks configs.
 """
 
 from __future__ import annotations
@@ -27,48 +26,41 @@ import sys
 import time
 
 REF_BASELINE_MRAYS = 0.5  # estimated reference CPU Mrays/s on this host
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _time_render(scene, camera, cfg, passes: int = 1):
+    """-> (mrays_primary, compile_seconds, wall_seconds). One warmup dispatch
+    compiles; steady-state timing covers the remaining cells/passes."""
     import jax
-
-    if os.environ.get("RAYSNAIL_BENCH_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
-
     import jax.numpy as jnp
 
-    from raysnail_tpu.config import RenderConfig
     from raysnail_tpu.prelude import rng as prng
-    from raysnail_tpu.render import _full_grid, make_sample_step
-    from raysnail_tpu.sdl import build_scene
-
-    small = os.environ.get("RAYSNAIL_BENCH_SMALL") == "1"
-    cfg = RenderConfig(width=200 if small else 800,
-                       height=125 if small else 500,
-                       samples=4 if small else 65,
-                       max_depth=8)
-    repo = os.path.dirname(os.path.abspath(__file__))
-    scene, camera = build_scene(os.path.join(repo, "sdl", "example.sdl"), cfg)
-    dev = jax.devices()[0]
-    log(f"bench: device={dev} {cfg.width}x{cfg.height} spp={cfg.effective_samples} depth={cfg.max_depth}")
+    from raysnail_tpu.render import _full_grid, make_sample_step, render_passes
 
     step = make_sample_step(scene, cfg)
     px, py = _full_grid(cfg)
     px = jnp.asarray(px, cfg.dtype)
     py = jnp.asarray(py, cfg.dtype)
     key = prng.key(7)
-
     spp = cfg.effective_samples
-    # one stratification cell per dispatch: pixels*1 rays each
+
     t0 = time.time()
     out = step(scene.arrays, camera, key, jnp.arange(1, dtype=jnp.int32), px, py)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
-    log(f"bench: first dispatch (compile+run) {compile_s:.1f}s")
+
+    if passes > 1:
+        # time the full adaptive multi-pass driver (includes host noise calc)
+        t0 = time.time()
+        render_passes(scene, camera, cfg.replace(passes=passes), seed=7)
+        dt = time.time() - t0
+        primary = cfg.width * cfg.height * spp  # first pass; later passes partial
+        return primary * passes / dt / 1e6, compile_s, dt
 
     t0 = time.time()
     accum = None
@@ -78,15 +70,105 @@ def main():
         accum = sums if accum is None else accum + sums
     jax.block_until_ready(accum)
     dt = time.time() - t0
-    n_cells = spp - 1
-    primary = cfg.width * cfg.height * n_cells
-    mrays = primary / dt / 1e6
-    log(f"bench: {n_cells} cells in {dt:.2f}s -> {mrays:.3f} Mprimary-rays/s "
-        f"({mrays * cfg.max_depth:.2f} M ray-segments/s at depth {cfg.max_depth})")
+    primary = cfg.width * cfg.height * (spp - 1)
+    return primary / dt / 1e6, compile_s, dt
 
+
+def _configs(small: bool):
+    from raysnail_tpu import ir
+    from raysnail_tpu.camera import build_camera
+    from raysnail_tpu.config import RenderConfig
+    from raysnail_tpu.scene import SceneBuilder
+    from raysnail_tpu.scenes import book1
+    from raysnail_tpu.scenes.meshes import torus_knot
+    from raysnail_tpu.sdl import build_scene
+
+    def sdl(name, cfg):
+        return build_scene(os.path.join(REPO, "sdl", name), cfg)
+
+    out = {}
+
+    cfg = RenderConfig(width=200 if small else 800, height=125 if small else 500,
+                       samples=4 if small else 65, max_depth=8)
+    out["example.sdl"] = (*sdl("example.sdl", cfg), cfg, 1)
+
+    cfg1 = RenderConfig(width=100 if small else 400, height=57 if small else 225,
+                        samples=4 if small else 16, max_depth=8)
+    scene1 = book1.balls_scene(7).compile()
+    out["rtow_13_1"] = (scene1, book1.balls_camera(cfg1.width, cfg1.height), cfg1, 1)
+
+    cfg2 = RenderConfig(width=200 if small else 800, height=125 if small else 500,
+                        samples=4 if small else 65, max_depth=8)
+    out["quadric.sdl"] = (*sdl("quadric.sdl", cfg2), cfg2, 1)
+    out["transforms.sdl"] = (*sdl("transforms.sdl", cfg2), cfg2, 1)
+
+    # OBJ-style mesh + emissive area light (the reference's dragon.obj is not
+    # shipped; a 19.2k-triangle knot exercises the same BVH path)
+    cfgm = RenderConfig(width=160 if small else 640, height=100 if small else 400,
+                        samples=4 if small else 36, max_depth=8)
+    v, f, n = torus_knot(n_seg=100 if small else 400, n_ring=16 if small else 24)
+    b = SceneBuilder()
+    b.add(ir.Mesh(vertices=v, indices=f, normals=n,
+                  material=ir.DiffuseMetal(400.0, ir.Constant((0.8, 0.6, 0.3)))))
+    b.add(ir.Sphere((0, -1001.3, 0), 1000.0, ir.Lambertian(ir.Constant((0.4, 0.4, 0.45)))))
+    b.add(ir.Sphere((4, 6, 3), 1.5, ir.DiffuseLight(ir.Constant((1.0, 0.95, 0.9)), 8.0)),
+          light=True)
+    b.set_background((0.05, 0.05, 0.08), (0.1, 0.12, 0.2))
+    camm = build_camera(look_from=(0, 1.5, 4), look_at=(0, 0, 0), fov=45,
+                        width=cfgm.width, height=cfgm.height)
+    out["mesh+arealight"] = (b.compile(), camm, cfgm, 1)
+
+    # Mandelbulb distance field with adaptive oversampling, passes=4
+    cfgb = RenderConfig(width=120 if small else 500, height=72 if small else 300,
+                        samples=4 if small else 25, max_depth=6)
+    bb = SceneBuilder()
+    bb.add(ir.Mandelbulb(material=ir.BlinnPhong(0.3, 60.0, ir.Constant((0.8, 0.75, 0.6)))))
+    bb.add(ir.Sphere((3, 5, 3), 1.0, ir.DiffuseLight(ir.Constant((1.0, 0.95, 0.9)), 6.0)),
+           light=True)
+    bb.set_background((0.2, 0.25, 0.35), (0.5, 0.6, 0.8))
+    camb = build_camera(look_from=(2.2, 1.4, 2.2), look_at=(0, 0, 0), fov=45,
+                        width=cfgb.width, height=cfgb.height)
+    out["mandelbulb-passes4"] = (bb.compile(), camb, cfgb, 2 if small else 4)
+
+    return out
+
+
+def main():
+    import jax
+
+    if os.environ.get("RAYSNAIL_BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    small = os.environ.get("RAYSNAIL_BENCH_SMALL") == "1"
+    run_all = "--all" in sys.argv
+
+    configs = _configs(small)
+    dev = jax.devices()[0]
+    log(f"bench: device={dev} small={small} all={run_all}")
+
+    results = {}
+    names = list(configs) if run_all else ["example.sdl"]
+    for name in names:
+        scene, camera, cfg, passes = configs[name]
+        mrays, compile_s, wall = _time_render(scene, camera, cfg, passes)
+        results[name] = {
+            "mrays_primary": round(mrays, 4),
+            "compile_s": round(compile_s, 1),
+            "steady_s": round(wall, 2),
+            "size": f"{cfg.width}x{cfg.height}@{cfg.effective_samples}spp",
+            "passes": passes,
+        }
+        log(f"bench[{name}]: {results[name]}")
+
+    if run_all:
+        with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
+            json.dump({"device": str(dev), "results": results}, f, indent=2)
+        log("wrote BENCH_DETAILS.json")
+
+    mrays = results["example.sdl"]["mrays_primary"]
     print(json.dumps({
         "metric": "example.sdl 800x500@64spp fwd primary rays per second per chip",
-        "value": round(mrays, 4),
+        "value": mrays,
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / REF_BASELINE_MRAYS, 3),
     }))

@@ -58,7 +58,10 @@ class RenderConfig:
     # Execution ------------------------------------------------------------
     ray_batch: int = 1 << 17     # rays per device dispatch (tile_pixels * spp chunk)
     use_pallas: str = "auto"     # "auto" | "never" | "force" (force => interpret off-TPU)
-    rng: str = "fast"            # "fast" (counter-hash) | "threefry" (jax.random)
+    rng: str = "auto"            # "auto" | "fast" (counter-hash) | "threefry"
+    # "auto" resolves at trace time: threefry on TPU (the fmix32 hash path
+    # compiles poorly through the TPU toolchain and ran 10x slower end-to-end
+    # despite fast isolated u32 ops), fast hash on CPU (4x speedup there)
 
     # Adaptive oversampling (multi-pass) ------------------------------------
     passes: int = 1

@@ -48,7 +48,11 @@ def sample_sums(scene: scenelib.Scene, cfg: RenderConfig,
         s_j = (sid // sqrt_spp).astype(cfg.dtype)
         # per-ray keys from (seed, sample_id, pixel_id): shard-invariant
         base = jax.random.fold_in(key, sid)
-        if cfg.rng == "fast":
+        backend = cfg.rng
+        if backend == "auto":
+            # any accelerator (tpu / the axon tunnel) -> threefry
+            backend = "fast" if jax.default_backend() == "cpu" else "threefry"
+        if backend == "fast":
             keys = prng.fast_streams(base, pixel_ids)
         else:
             keys = prng.per_ray_keys(base, pixel_ids)
