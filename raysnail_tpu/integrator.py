@@ -41,9 +41,26 @@ from raysnail_tpu.prelude import rng as prng
 from raysnail_tpu.prelude.sampling import PI
 from raysnail_tpu.prelude.vec import Vec3
 
-# per-bounce uniform slots
-_U_MIX, _U_BRANCH, _U_PICK, _U_L1, _U_L2, _U_REFL, _U_BSDF0 = range(7)
-N_UNIFORMS = 6 + 2 + 2 * matlib.REJECT_TRIES + 1
+def _slot_layout(kinds: frozenset, has_lights: bool):
+    """Per-bounce uniform slots, allocated only for the material/light kinds
+    the scene actually contains — RNG is a first-order cost, so a pure
+    Lambertian scene draws 6 uniforms per bounce instead of 17."""
+    idx = {}
+    n = 0
+    if matlib.MIXED in kinds:
+        idx["mix"] = n; n += 1
+    if has_lights:
+        idx["branch"], idx["pick"], idx["l1"], idx["l2"] = n, n + 1, n + 2, n + 3
+        n += 4
+    if matlib.DIELECTRIC in kinds:
+        idx["refl"] = n; n += 1
+    idx["bsdf"] = n
+    n += 2  # base cosine / sphere sample
+    if (matlib.DIFFUSE_METAL in kinds) or (matlib.BLINN_PHONG in kinds):
+        n += 2 * matlib.REJECT_TRIES
+    if matlib.BLINN_PHONG in kinds:
+        n += 1
+    return idx, n
 
 
 def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
@@ -55,6 +72,7 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     shape = jnp.shape(ray.direction.x)
     static = scene.static
     kinds = static.mat_kinds
+    slot, n_uniforms = _slot_layout(kinds, static.has_lights)
 
     def bounce(carry, b):
         o, d, time, T, L, alive = carry
@@ -68,9 +86,12 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         missed = alive & (~hit.valid)
         L = L + Vec3.where(missed, T * bg, Vec3.zeros(shape, T.dtype))
 
-        u = prng.ray_uniforms(prng.fold_all(kb, prng.SCATTER), N_UNIFORMS)
+        u = prng.ray_uniforms(prng.fold_all(kb, prng.SCATTER), n_uniforms)
 
-        mat_id = matlib.resolve(arrays.materials, hit.mat_id, u[_U_MIX])
+        if matlib.MIXED in kinds:
+            mat_id = matlib.resolve(arrays.materials, hit.mat_id, u[slot["mix"]])
+        else:
+            mat_id = jnp.where(hit.mat_id < 0, 0, hit.mat_id)
         rows = matlib.gather(arrays.materials, mat_id)
         p = o + d * hit.t
         tex_color = texlib.evaluate(
@@ -83,19 +104,21 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
         # -- specular (skip_pdf) path ------------------------------------
         skip = matlib.is_skip_pdf(rows)
+        u_refl = u[slot["refl"]] if "refl" in slot else hit.t  # unused if absent
         spec_dir, absorbed = matlib.specular_dir(
-            rows, d, hit.normal, hit.outside, u[_U_REFL], kinds
+            rows, d, hit.normal, hit.outside, u_refl, kinds
         )
 
         # -- pdf path ------------------------------------------------------
-        bsdf_dir = matlib.bsdf_sample(rows, d, hit.normal, u[_U_BSDF0:], kinds)
+        bsdf_dir = matlib.bsdf_sample(rows, d, hit.normal, u[slot["bsdf"]:], kinds)
         if static.has_lights:
             sampler = lightslib.sample_proper if cfg.proper_mis else lightslib.sample
             light_raw = sampler(
-                arrays.lights, p, u[_U_PICK], u[_U_L1], u[_U_L2], static.light_kinds
+                arrays.lights, p, u[slot["pick"]], u[slot["l1"]], u[slot["l2"]],
+                static.light_kinds
             )
             light_dir = light_raw.unit()
-            use_light = u[_U_BRANCH] < cfg.light_sample_prob
+            use_light = u[slot["branch"]] < cfg.light_sample_prob
             light_multi = matlib.phong_highlight(light_dir, d, hit.normal, rows)
         else:
             light_dir = bsdf_dir
