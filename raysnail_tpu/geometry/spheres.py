@@ -55,7 +55,8 @@ def pair_t(group: SphereGroup, origin: Vec3, direction: Vec3, time, t_min, t_max
 
 
 def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
-              chunk: int = 512, need_uv: bool = True) -> Hit:
+              chunk: int = 512, need_uv: bool = True,
+              use_pallas: bool = False, pallas_interpret: bool = False) -> Hit:
     """Closest sphere hit per ray. Group arrays must be padded to a multiple
     of `chunk` (scene compile guarantees this)."""
     n = jnp.shape(ray.direction.x)[0]
@@ -64,7 +65,30 @@ def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
     d = ray.direction.map(lambda a: a[:, None])
     time = ray.time[:, None]
 
-    if s <= chunk:
+    if use_pallas and not moving:
+        from raysnail_tpu.ops import sphere_pallas as sp
+
+        pad_n = (-n) % sp.TILE_R
+        pad_s = (-s) % sp.LANES
+
+        def padded(a, amount, value=0.0):
+            return jnp.pad(a, (0, amount), constant_values=value) if amount else a
+
+        rays6 = tuple(padded(a, pad_n) for a in
+                      (ray.origin.x, ray.origin.y, ray.origin.z,
+                       ray.direction.x, ray.direction.y, ray.direction.z))
+        centers = tuple(padded(a, pad_s) for a in
+                        (group.center.x, group.center.y, group.center.z))
+        r2 = padded(group.radius * group.radius, pad_s)
+        act = padded(group.active, pad_s, value=False)
+        t_best, idx = sp.sphere_min_t(
+            rays6[:3], rays6[3:], centers, r2, act,
+            jnp.float32(t_min), jnp.float32(t_max),
+            interpret=pallas_interpret,
+        )
+        t_best = t_best[:n]
+        idx = idx[:n]
+    elif s <= chunk:
         t = pair_t(group, o, d, time, t_min, t_max, moving)
         idx = jnp.argmin(t, axis=1)
         t_best = jnp.min(t, axis=1)

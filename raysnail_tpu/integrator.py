@@ -74,12 +74,21 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     kinds = static.mat_kinds
     slot, n_uniforms = _slot_layout(kinds, static.has_lights)
 
+    # pallas policy: "force" always runs the kernels (interpreted off-
+    # accelerator, for tests); "auto" currently keeps the fused-XLA path
+    # (flip after kernel-by-kernel profiling on real chips); "never" disables
+    on_cpu = jax.default_backend() == "cpu"
+    use_pallas = cfg.use_pallas == "force"
+    pallas_interpret = use_pallas and on_cpu
+
     def bounce(carry, b):
         o, d, time, T, L, alive = carry
         r = Ray(origin=o, direction=d, time=time)
         kb = prng.fold_all(keys, b)
 
-        hit = scenelib.intersect(scene, arrays, r, cfg.t_min, cfg.t_max, kb)
+        hit = scenelib.intersect(scene, arrays, r, cfg.t_min, cfg.t_max, kb,
+                                 use_pallas=use_pallas,
+                                 pallas_interpret=pallas_interpret)
 
         # miss -> background, die (camera.rs:254)
         bg = arrays.background.color(d)

@@ -79,7 +79,8 @@ class Scene:
         return intersect(self, self.arrays, ray, t_min, t_max, key)
 
 
-def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key) -> Hit:
+def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
+              use_pallas: bool = False, pallas_interpret: bool = False) -> Hit:
     """Closest hit across all primitive groups. `arrays` is passed separately
     so a jitted caller can thread traced arrays while `scene` supplies the
     static structure. `key` is the per-ray key batch (only media draw from
@@ -91,7 +92,9 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key) -> Hit:
             spheres.intersect(arrays.spheres, ray, t_min, t_max,
                               moving=scene.static.moving,
                               chunk=scene.static.sphere_chunk,
-                              need_uv=texlib.IMAGE in scene.static.tex_modes),
+                              need_uv=texlib.IMAGE in scene.static.tex_modes,
+                              use_pallas=use_pallas,
+                              pallas_interpret=pallas_interpret),
         )
     if arrays.boxes is not None:
         best = combine_hits(best, boxes.intersect(arrays.boxes, ray, t_min, t_max))
