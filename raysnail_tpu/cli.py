@@ -27,6 +27,13 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--preview", action="store_true",
                     help="rewrite the output PNG as passes complete")
+    ap.add_argument("--mis", action="store_true",
+                    help="physically-correct one-sample MIS instead of the "
+                         "reference-compat estimator")
+    ap.add_argument("--pallas", choices=["auto", "never", "force"],
+                    default="auto", help="Pallas kernel policy")
+    ap.add_argument("--checkpoint", default=None,
+                    help="write/read resumable render state at this path")
     args = ap.parse_args(argv)
 
     import jax
@@ -43,7 +50,8 @@ def main(argv=None):
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        samples=args.samples, max_depth=args.depth,
-                       passes=args.passes)
+                       passes=args.passes, proper_mis=args.mis,
+                       use_pallas=args.pallas)
     t0 = time.time()
     scene, camera = build_scene(args.scene, cfg)
     print(f"parsed + compiled {args.scene} in {time.time() - t0:.2f}s "
@@ -55,7 +63,18 @@ def main(argv=None):
             Image.fromarray(colorlib.to_u8(img)).save(args.outfile)
 
     t0 = time.time()
-    img = render_passes(scene, camera, cfg, seed=args.seed, progress=progress)
+    if args.checkpoint and args.passes == 1:
+        import os
+
+        from raysnail_tpu.painter import RenderSession, RenderState
+
+        sess = RenderSession(scene, camera, cfg, seed=args.seed,
+                             checkpoint_path=args.checkpoint)
+        resume = (RenderState.load(args.checkpoint)
+                  if os.path.exists(args.checkpoint) else None)
+        img = sess.render(target=progress, resume=resume)
+    else:
+        img = render_passes(scene, camera, cfg, seed=args.seed, progress=progress)
     dt = time.time() - t0
     rays = cfg.width * cfg.height * cfg.effective_samples * args.passes
     print(f"rendered in {dt:.2f}s  ({rays / dt / 1e6:.2f} Mprimary-rays/s)")

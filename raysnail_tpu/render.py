@@ -167,7 +167,7 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
 
     accum = render_sums(scene, camera, cfg, seed, px_full, py_full, step=step,
                         arrays=arrays)
-    img = np.asarray(
+    img = np.array(
         colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
     ).reshape(h, w, 3)
     if progress is not None:
