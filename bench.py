@@ -49,9 +49,11 @@ def _time_render(scene, camera, cfg, passes: int = 1):
     key = prng.key(7)
     spp = cfg.effective_samples
 
+    # NOTE: jax.block_until_ready does NOT actually block under the axon
+    # remote runtime — fetch a scalar to force execution before timing.
     t0 = time.time()
     out = step(scene.arrays, camera, key, jnp.arange(1, dtype=jnp.int32), px, py)
-    jax.block_until_ready(out)
+    float(out.x.sum())
     compile_s = time.time() - t0
 
     if passes > 1:
@@ -68,7 +70,7 @@ def _time_render(scene, camera, cfg, passes: int = 1):
         ids = jnp.arange(start, start + 1, dtype=jnp.int32)
         sums = step(scene.arrays, camera, key, ids, px, py)
         accum = sums if accum is None else accum + sums
-    jax.block_until_ready(accum)
+    float(accum.x.sum())  # host fetch forces the whole chain
     dt = time.time() - t0
     primary = cfg.width * cfg.height * (spp - 1)
     return primary / dt / 1e6, compile_s, dt

@@ -75,6 +75,12 @@ def _axis_normal(axis, sign) -> Vec3:
     )
 
 
+def _select_axis(x, y, z, axis):
+    """Component of a vector by per-lane axis index — elementwise selects
+    (jnp.take_along_axis lowers to a serial gather on TPU; this stays VPU)."""
+    return jnp.where(axis == 0, x, jnp.where(axis == 1, y, z))
+
+
 def intersect(group: BoxGroup, ray, t_min, t_max, chunk: int = 256) -> Hit:
     """Closest box hit per ray: surface t is t_near if in range else t_far
     (ray started inside — box.rs:131-134), with the face's outward normal and
@@ -98,26 +104,24 @@ def intersect(group: BoxGroup, ray, t_min, t_max, chunk: int = 256) -> Hit:
     t = jnp.where(near_in, t_near, jnp.where(far_in, t_far, BIG))
 
     idx = jnp.argmin(t, axis=1)
-    rows_idx = jnp.arange(t.shape[0])
-    t_best = t[rows_idx, idx]
+    onehot = hitlib.onehot_of(idx, t.shape[1])
+    t_best = jnp.min(t, axis=1)
     valid = t_best < BIG
 
-    near_sel = near_in[rows_idx, idx]
-    axis = jnp.where(near_sel, axis_near[rows_idx, idx], axis_far[rows_idx, idx])
+    near_sel = hitlib.select_row_bool(onehot, near_in)
+    axis = hitlib.select_row(onehot, jnp.where(near_in, axis_near, axis_far))
 
     d_sel = ray.direction
     o_sel = ray.origin
     if oriented:
-        rows_sel = tuple(hitlib.gather(r, idx) for r in group.inv_rows)
-        off_sel = hitlib.gather(group.inv_off, idx)
+        rows_sel = tuple(hitlib.select_table_vec(onehot, r) for r in group.inv_rows)
+        off_sel = hitlib.select_table_vec(onehot, group.inv_off)
         d_obj = _apply_rows(rows_sel, off_sel, d_sel, translate=False)
         o_obj = _apply_rows(rows_sel, off_sel, o_sel, translate=True)
     else:
         d_obj, o_obj = d_sel, o_sel
 
-    d_axis = jnp.take_along_axis(
-        jnp.stack([d_obj.x, d_obj.y, d_obj.z], -1), axis[:, None], axis=-1
-    )[:, 0]
+    d_axis = _select_axis(d_obj.x, d_obj.y, d_obj.z, axis)
     # outward normal of the entry face opposes d; of the exit face follows d
     sign = jnp.where(near_sel, -jnp.sign(d_axis), jnp.sign(d_axis))
     n_obj = _axis_normal(axis, sign)
@@ -128,16 +132,15 @@ def intersect(group: BoxGroup, ray, t_min, t_max, chunk: int = 256) -> Hit:
 
     # face uv: fractional coords of the object-space hit in the two free axes
     p_obj = o_obj + d_obj * t_best
-    pmin_sel = hitlib.gather(group.p_min, idx)
-    pmax_sel = hitlib.gather(group.p_max, idx)
+    pmin_sel = hitlib.select_table_vec(onehot, group.p_min)
+    pmax_sel = hitlib.select_table_vec(onehot, group.p_max)
     rel = (p_obj - pmin_sel) / (pmax_sel - pmin_sel).map(lambda c: jnp.where(jnp.abs(c) < 1e-12, 1.0, c))
-    comps = jnp.stack([rel.x, rel.y, rel.z], -1)
     a0 = (axis + 1) % 3
     a1 = (axis + 2) % 3
-    u = jnp.take_along_axis(comps, a0[:, None], -1)[:, 0]
-    v = jnp.take_along_axis(comps, a1[:, None], -1)[:, 0]
+    u = _select_axis(rel.x, rel.y, rel.z, a0)
+    v = _select_axis(rel.x, rel.y, rel.z, a1)
 
-    mat_id = group.mat_id[idx]
+    mat_id = hitlib.select_table(onehot, group.mat_id)
     return hitlib.finalize(ray.direction, t_best, geom_n, u, v, mat_id, valid)
 
 
@@ -163,10 +166,7 @@ def interval(p_min: Vec3, p_max: Vec3, ray, t_min, t_max, inv_rows=None, inv_off
 
 
 def normal_of(axis, near_sel, d_obj: Vec3, inv_rows=None) -> Vec3:
-    d_axis = jnp.take_along_axis(
-        jnp.stack([d_obj.x, d_obj.y, d_obj.z], -1),
-        jnp.asarray(axis)[..., None], axis=-1,
-    )[..., 0]
+    d_axis = _select_axis(d_obj.x, d_obj.y, d_obj.z, axis)
     sign = jnp.where(near_sel, -jnp.sign(d_axis), jnp.sign(d_axis))
     n = _axis_normal(axis, sign)
     if inv_rows is not None:

