@@ -80,6 +80,19 @@ def resolve(table: MaterialTable, mat_id, u_mix, default_id: int = 0):
 
 
 def gather(table: MaterialTable, mat_id) -> Rows:
+    """Per-ray material rows. On accelerators a one-hot select is used
+    instead of a dynamic gather (TPU serializes gathers; see geometry/hit.py)."""
+    if jax.default_backend() != "cpu" and table.mtype.shape[0] <= 1024:
+        from raysnail_tpu.geometry import hit as hitlib
+
+        onehot = hitlib.onehot_of(mat_id, table.mtype.shape[0])
+        sel = lambda a: hitlib.select_table(onehot, a)
+        return Rows(
+            mtype=sel(table.mtype), tex_id=sel(table.tex_id),
+            param0=sel(table.param0), param1=sel(table.param1),
+            emit_mult=sel(table.emit_mult), phong_factor=sel(table.phong_factor),
+            phong_exponent=sel(table.phong_exponent),
+        )
     return Rows(
         mtype=table.mtype[mat_id],
         tex_id=table.tex_id[mat_id],

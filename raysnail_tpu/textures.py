@@ -49,13 +49,22 @@ class TextureTable(NamedTuple):
 
 
 def _checker(table, tid, p: Vec3) -> Vec3:
-    s = table.scale[tid]
+    s = _take(table.scale, tid)
     value = jnp.sin(s * p.x) * jnp.sin(s * p.y) * jnp.sin(s * p.z)
     return Vec3.where(value < 0.0, _gather_color(table.color1, tid), _gather_color(table.color2, tid))
 
 
+def _take(a, tid):
+    """Backend-aware small-table fetch (one-hot on accelerators)."""
+    if jax.default_backend() != "cpu" and a.shape[0] <= 1024:
+        from raysnail_tpu.geometry import hit as hitlib
+
+        return hitlib.select_table(hitlib.onehot_of(tid, a.shape[0]), a)
+    return a[tid]
+
+
 def _gather_color(c: Vec3, tid) -> Vec3:
-    return Vec3(c.x[tid], c.y[tid], c.z[tid])
+    return Vec3(_take(c.x, tid), _take(c.y, tid), _take(c.z, tid))
 
 
 def _image(table, tid, u, v) -> Vec3:
@@ -131,7 +140,7 @@ def evaluate(table: TextureTable, tex_id, u, v, p: Vec3, modes: frozenset) -> Ve
     modes are not computed at all."""
     tid = jnp.maximum(tex_id, 0)
     out = _gather_color(table.color1, tid)  # CONSTANT is the base case
-    tt = table.ttype[tid]
+    tt = _take(table.ttype, tid)
 
     if CHECKER in modes:
         out = Vec3.where(tt == CHECKER, _checker(table, tid, p), out)
