@@ -76,6 +76,47 @@ def _time_render(scene, camera, cfg, passes: int = 1):
     return primary / dt / 1e6, compile_s, dt
 
 
+def _time_grad_step(small: bool):
+    """Forward+backward Mrays/s: one optax train step on the canonical scene
+    (reduced size — the backward pass roughly triples memory and FLOPs)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from raysnail_tpu.config import RenderConfig
+    from raysnail_tpu.diff import make_train_step
+    from raysnail_tpu.sdl import build_scene
+
+    cfg = RenderConfig(width=100 if small else 400, height=62 if small else 250,
+                       samples=4 if small else 16, max_depth=8)
+    scene, camera = build_scene(os.path.join(REPO, "sdl", "example.sdl"), cfg)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    step, opt_state, params = make_train_step(scene, camera, cfg, target)
+    ids = jnp.arange(cfg.effective_samples, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, key, ids)
+    float(loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    reps = 3
+    for i in range(reps):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(key, i), ids)
+    float(loss)
+    dt = time.time() - t0
+    rays = cfg.width * cfg.height * cfg.effective_samples * reps
+    return {
+        "mrays_fwd_bwd": round(rays / dt / 1e6, 4),
+        "compile_s": round(compile_s, 1),
+        "steady_s": round(dt, 2),
+        "size": f"{cfg.width}x{cfg.height}@{cfg.effective_samples}spp",
+        "loss": round(float(loss), 6),
+    }
+
+
 def _configs(small: bool):
     from raysnail_tpu import ir
     from raysnail_tpu.camera import build_camera
@@ -167,6 +208,12 @@ def main():
         log(f"bench[{name}]: {results[name]}")
 
     if run_all:
+        try:
+            results["example-fwd+bwd"] = _time_grad_step(small)
+            log(f"bench[example-fwd+bwd]: {results['example-fwd+bwd']}")
+        except Exception as e:
+            results["example-fwd+bwd"] = {"error": f"{type(e).__name__}: {e}"}
+            log(f"bench[example-fwd+bwd] FAILED: {e}")
         with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
             json.dump({"device": str(dev), "results": results}, f, indent=2)
         log("wrote BENCH_DETAILS.json")

@@ -76,6 +76,104 @@ def _tri_hit(g: TriangleGroup, tri_idx, o: Vec3, d: Vec3, t_min, t_max):
     return t, beta, gamma, valid
 
 
+def intersect_brute(group: TriangleGroup, ray, t_min, t_max,
+                    chunk: int = 256) -> Hit:
+    """Dense chunked triangle sweep — no BVH, no gathers.
+
+    TPU XLA serializes the lockstep BVH walk's per-ray node fetches, so up to
+    a few tens of thousands of triangles a (rays x chunk) broadcast test with
+    scalar per-chunk triangle data is far faster on the VPU (the same pattern
+    as the sphere group). Scene compile picks this path for small/medium
+    meshes (BRUTE_FORCE_MAX) and keeps the BVH for large ones."""
+    n = jnp.shape(ray.direction.x)[0]
+    f = group.mat_id.shape[0]
+    o = ray.origin.map(lambda a: a[:, None])
+    d = ray.direction.map(lambda a: a[:, None])
+
+    n_chunks = -(-f // chunk)
+    pad = n_chunks * chunk - f
+
+    def padded(a):
+        return jnp.pad(a, (0, pad)) if pad else a
+
+    p0 = group.p0.map(padded)
+    A = group.edge_a.map(padded)
+    D = group.edge_d.map(padded)
+    mat = jnp.pad(group.mat_id, (0, pad), constant_values=-2) if pad else group.mat_id
+
+    def reshaped(v):
+        return v.map(lambda a: a.reshape(n_chunks, chunk))
+
+    p0c, Ac, Dc = reshaped(p0), reshaped(A), reshaped(D)
+    matc = mat.reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        bt, btri, bb, bg, base = carry
+        p0_, A_, D_, m_ = xs
+        p0r = p0_.map(lambda a: a[None, :])
+        Ar = A_.map(lambda a: a[None, :])
+        Dr = D_.map(lambda a: a[None, :])
+
+        j = p0r.x - o.x
+        k = p0r.y - o.y
+        l = p0r.z - o.z
+        eihf = Dr.y * d.z - d.y * Dr.z
+        gfdi = d.x * Dr.z - Dr.x * d.z
+        dheg = Dr.x * d.y - Dr.y * d.x
+        denom = Ar.x * eihf + Ar.y * gfdi + Ar.z * dheg
+        denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        beta = (j * eihf + k * gfdi + l * dheg) / denom
+        akjb = Ar.x * k - j * Ar.y
+        jcal = j * Ar.z - Ar.x * l
+        blkc = Ar.y * l - k * Ar.z
+        gamma = (d.z * akjb + d.y * jcal + d.x * blkc) / denom
+        t = -(Dr.z * akjb + Dr.y * jcal + Dr.x * blkc) / denom
+        ok = (
+            (beta >= 0.0) & (beta < 1.0) & (gamma > 0.0) & (beta + gamma < 1.0)
+            & (t >= t_min) & (t <= t_max) & (m_[None, :] != -2)
+        )
+        t = jnp.where(ok, t, BIG)
+        tc = jnp.min(t, axis=1)
+        onehot = hitlib.onehot_of(jnp.argmin(t, axis=1), chunk)
+        take = tc < bt
+        bt = jnp.where(take, tc, bt)
+        btri = jnp.where(take, hitlib.select_row(
+            onehot, jnp.broadcast_to(jnp.arange(chunk, dtype=jnp.int32)[None, :], t.shape)
+        ) + base, btri)
+        bb = jnp.where(take, hitlib.select_row(onehot, beta), bb)
+        bg = jnp.where(take, hitlib.select_row(onehot, gamma), bg)
+        return (bt, btri, bb, bg, base + chunk), None
+
+    init = (
+        jnp.full(n, BIG, d.x.dtype),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, d.x.dtype),
+        jnp.zeros(n, d.x.dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    (best_t, best_tri, beta, gamma, _), _ = jax.lax.scan(
+        body, init, (p0c, Ac, Dc, matc)
+    )
+    return _finish(group, ray, best_t, best_tri, beta, gamma)
+
+
+def _finish(group: TriangleGroup, ray, best_t, best_tri, beta, gamma) -> Hit:
+    valid = best_t < BIG
+    n0 = hitlib.gather(group.n0, best_tri)
+    n1 = hitlib.gather(group.n1, best_tri)
+    n2 = hitlib.gather(group.n2, best_tri)
+    normal = (n0 * (1.0 - beta - gamma) + n1 * beta + n2 * gamma).unit()
+    mat_id = group.mat_id[best_tri]
+    z = jnp.zeros_like(best_t)
+    t = jnp.where(valid, best_t, BIG)
+    # with_normal semantics: normal as given, outside = true
+    return Hit(
+        t=t, valid=valid, normal=normal, u=z, v=z,
+        mat_id=jnp.where(valid, mat_id, -1).astype(jnp.int32),
+        outside=jnp.ones_like(valid),
+    )
+
+
 def intersect(group: TriangleGroup, ray, t_min, t_max,
               max_iters: int = 4096) -> Hit:
     o, d = ray.origin, ray.direction
@@ -136,18 +234,4 @@ def intersect(group: TriangleGroup, ray, t_min, t_max,
         jnp.asarray(0, jnp.int32),
     )
     node, best_t, best_tri, beta, gamma, _ = jax.lax.while_loop(cond, body, init)
-
-    valid = best_t < BIG
-    n0 = hitlib.gather(group.n0, best_tri)
-    n1 = hitlib.gather(group.n1, best_tri)
-    n2 = hitlib.gather(group.n2, best_tri)
-    normal = n0 * (1.0 - beta - gamma) + n1 * beta + n2 * gamma
-    mat_id = group.mat_id[best_tri]
-    z = jnp.zeros_like(best_t)
-    # with_normal semantics: normal as given, outside = true
-    t = jnp.where(valid, best_t, BIG)
-    return Hit(
-        t=t, valid=valid, normal=normal, u=z, v=z,
-        mat_id=jnp.where(valid, mat_id, -1).astype(jnp.int32),
-        outside=jnp.ones_like(valid),
-    )
+    return _finish(group, ray, best_t, best_tri, beta, gamma)

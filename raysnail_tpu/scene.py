@@ -65,6 +65,7 @@ class SceneStatic:
     n_media: int
     n_csg: int
     sphere_chunk: int = 512
+    tri_brute: bool = False   # dense sweep instead of BVH walk (small meshes)
 
 
 @dataclasses.dataclass
@@ -103,9 +104,12 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
     if arrays.quadrics is not None:
         best = combine_hits(best, quadrics.intersect(arrays.quadrics, ray, t_min, t_max))
     if arrays.triangles is not None:
-        # lax.while_loop traversal is not reverse-differentiable; geometry
-        # gradients are out of scope, so detach the mesh hit entirely
-        tri_hit = triangles.intersect(arrays.triangles, ray, t_min, t_max)
+        # geometry gradients are out of scope: detach the mesh hit (the BVH
+        # while_loop is not reverse-differentiable anyway)
+        if scene.static.tri_brute:
+            tri_hit = triangles.intersect_brute(arrays.triangles, ray, t_min, t_max)
+        else:
+            tri_hit = triangles.intersect(arrays.triangles, ray, t_min, t_max)
         best = combine_hits(best, jax.lax.stop_gradient(tri_hit))
     if scene.csg_trees:
         best = combine_hits(best, csg.intersect_trees(scene.csg_trees, ray, t_min, t_max))
@@ -397,9 +401,12 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             active=jnp.ones(len(quad_list), bool),
         )
 
+    BRUTE_FORCE_MAX = 32768  # triangles; above this the BVH walk wins
     tri_group = None
+    tri_brute = False
     if mesh_list:
         tri_group = _build_triangles(mesh_list, f32)
+        tri_brute = int(tri_group.mat_id.shape[0]) <= BRUTE_FORCE_MAX
 
     # light list
     light_arrays = None
@@ -488,6 +495,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         has_lights=light_arrays is not None,
         n_media=len(media_nodes),
         n_csg=len(csg_trees),
+        tri_brute=tri_brute,
     )
     return Scene(arrays=arrays, static=static, csg_trees=tuple(csg_trees),
                  media=tuple(media_nodes), mandelbulbs=tuple(bulbs))
