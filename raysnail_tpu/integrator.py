@@ -74,11 +74,11 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     kinds = static.mat_kinds
     slot, n_uniforms = _slot_layout(kinds, static.has_lights)
 
-    # pallas policy: "force" always runs the kernels (interpreted off-
-    # accelerator, for tests); "auto" currently keeps the fused-XLA path
-    # (flip after kernel-by-kernel profiling on real chips); "never" disables
+    # pallas policy: "auto" runs the kernels on accelerators (measured 3.7x
+    # on the 478-sphere balls scene vs fused XLA), "force" additionally runs
+    # them interpreted off-accelerator (tests), "never" disables
     on_cpu = jax.default_backend() == "cpu"
-    use_pallas = cfg.use_pallas == "force"
+    use_pallas = cfg.use_pallas == "force" or (cfg.use_pallas == "auto" and not on_cpu)
     pallas_interpret = use_pallas and on_cpu
 
     def bounce(carry, b):
