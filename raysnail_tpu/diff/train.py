@@ -15,19 +15,14 @@ The bounce loop is a lax.scan, so reverse-mode checkpoints per bounce.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from raysnail_tpu import render as renderlib
 from raysnail_tpu import scene as scenelib
-from raysnail_tpu.camera import Camera, generate_rays
+from raysnail_tpu.camera import Camera
 from raysnail_tpu.config import RenderConfig
 from raysnail_tpu.diff.params import SceneParams, extract_params, inject_params
-from raysnail_tpu.integrator import radiance
-from raysnail_tpu.prelude import color as colorlib
-from raysnail_tpu.prelude import rng as prng
 from raysnail_tpu.prelude.vec import Vec3
 
 

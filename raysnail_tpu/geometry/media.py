@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from raysnail_tpu.geometry import boxes, spheres
+from raysnail_tpu.geometry import boxes
 from raysnail_tpu.geometry.hit import BIG, Hit
 from raysnail_tpu.prelude.vec import Vec3
 

@@ -10,7 +10,7 @@ closures, so the device never sees a vtable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 import numpy as np
 

@@ -21,7 +21,6 @@ Material kinds and reference behavior:
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

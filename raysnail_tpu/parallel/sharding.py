@@ -21,12 +21,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from raysnail_tpu import scene as scenelib
 from raysnail_tpu.camera import Camera
 from raysnail_tpu.config import RenderConfig
-from raysnail_tpu.diff.params import SceneParams, inject_params
+from raysnail_tpu.diff.params import inject_params
 from raysnail_tpu.prelude import color as colorlib
 from raysnail_tpu.prelude import rng as prng
 from raysnail_tpu.prelude.vec import Vec3

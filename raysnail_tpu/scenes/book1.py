@@ -16,7 +16,6 @@ import numpy as np
 
 from raysnail_tpu import ir
 from raysnail_tpu.camera import build_camera
-from raysnail_tpu.prelude.vec import Vec3
 from raysnail_tpu.scene import SceneBuilder
 
 

@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
-
 from raysnail_tpu import ir
 from raysnail_tpu.camera import build_camera
 from raysnail_tpu.geometry import transforms as tf

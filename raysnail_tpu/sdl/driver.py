@@ -14,9 +14,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from raysnail_tpu import ir
-from raysnail_tpu.camera import Camera, build_camera
+from raysnail_tpu.camera import build_camera
 from raysnail_tpu.config import RenderConfig
-from raysnail_tpu.scene import Scene, SceneBuilder
+from raysnail_tpu.scene import SceneBuilder
 from raysnail_tpu.sdl.parser import SdlParser
 
 LIGHT_RADIUS = 12.0
