@@ -40,12 +40,14 @@ class ImageTex:
 
 @dataclasses.dataclass(frozen=True)
 class Noise:
-    """Perlin lattice noise (noise.rs). kind: 'normal'|'turbulence'|'marble'."""
+    """Perlin lattice noise (noise.rs). kind: 'normal'|'turbulence'|'marble';
+    smooth: 'hermitian'|'linear'|'none' (SmoothType, noise.rs:4-8)."""
     kind: str = "marble"
     scale: float = 1.0
     depth: int = 7
     vector: bool = True
     seed: int = 0
+    smooth: str = "hermitian"
 
 
 TextureSpec = Union[Constant, Checker, ImageTex, Noise]

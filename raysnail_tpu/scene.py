@@ -260,7 +260,8 @@ def _perlin_tables(spec: ir.Noise):
     rad = np.sqrt(1.0 - z * z)
     vecs = np.stack([rad * np.cos(a), rad * np.sin(a), z], -1)
     perms = np.stack([r.permutation(n) for _ in range(3)])
-    return floats, vecs, bool(spec.vector), perms
+    smooth = {"none": 0, "linear": 1, "hermitian": 2}[spec.smooth]
+    return floats, vecs, bool(spec.vector), perms, smooth
 
 
 def _compile(builder: SceneBuilder, dtype) -> Scene:
@@ -446,12 +447,13 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             wh.append((img.shape[1], img.shape[0]))
         atlas = jnp.asarray(atlas_np)
         atlas_wh = jnp.asarray(wh, jnp.int32)
-    perlin_float = perlin_vec = perlin_is_vec = perm = None
+    perlin_float = perlin_vec = perlin_is_vec = perm = perlin_smooth = None
     if tables.perlins:
         perlin_float = f32(np.asarray([p[0] for p in tables.perlins]))
         perlin_vec = f32(np.asarray([p[1] for p in tables.perlins]))
         perlin_is_vec = jnp.asarray([p[2] for p in tables.perlins])
         perm = jnp.asarray(np.asarray([p[3] for p in tables.perlins]), jnp.int32)
+        perlin_smooth = jnp.asarray([p[4] for p in tables.perlins], jnp.int32)
 
     texture_table = texlib.TextureTable(
         ttype=jnp.asarray([r["ttype"] for r in tr], jnp.int32),
@@ -463,7 +465,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         atlas=atlas, atlas_wh=atlas_wh,
         perlin_id=jnp.asarray([r["perlin_id"] for r in tr], jnp.int32),
         perlin_float=perlin_float, perlin_vec=perlin_vec,
-        perlin_is_vec=perlin_is_vec, perm=perm,
+        perlin_is_vec=perlin_is_vec, perlin_smooth=perlin_smooth, perm=perm,
     )
 
     mr = tables.mat_rows

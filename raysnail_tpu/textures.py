@@ -45,6 +45,7 @@ class TextureTable(NamedTuple):
     perlin_float: jax.Array | None = None   # (P, 256)
     perlin_vec: jax.Array | None = None     # (P, 256, 3) gradient lattice
     perlin_is_vec: jax.Array | None = None  # (P,) bool
+    perlin_smooth: jax.Array | None = None  # (P,) int32: 0 none/1 linear/2 hermitian
     perm: jax.Array | None = None           # (P, 3, 256) int32 perm_x/y/z
 
 
@@ -79,17 +80,22 @@ def _image(table, tid, u, v) -> Vec3:
 
 
 def _perlin_noise(table, pid, p: Vec3):
-    """Hermitian-cubic lattice noise (noise.rs:112-137, 156-189), vectorized
-    with the 8 lattice corners unrolled."""
+    """Lattice noise with the reference's three smoothing modes
+    (noise.rs:97-137, 156-189), vectorized with the 8 corners unrolled.
+    smooth codes: 0=none (nearest lattice point at 4x scale), 1=linear,
+    2=hermitian cubic."""
+    smooth = table.perlin_smooth[pid]
+
     i = jnp.floor(p.x).astype(jnp.int32)
     j = jnp.floor(p.y).astype(jnp.int32)
     k = jnp.floor(p.z).astype(jnp.int32)
     u = p.x - i
     v = p.y - j
     w = p.z - k
-    uu = u * u * (3.0 - 2.0 * u)
-    vv = v * v * (3.0 - 2.0 * v)
-    ww = w * w * (3.0 - 2.0 * w)
+    hermite = smooth == 2
+    uu = jnp.where(hermite, u * u * (3.0 - 2.0 * u), u)
+    vv = jnp.where(hermite, v * v * (3.0 - 2.0 * v), v)
+    ww = jnp.where(hermite, w * w * (3.0 - 2.0 * w), w)
 
     mask = PERLIN_POINTS - 1
     is_vec = table.perlin_is_vec[pid]
@@ -117,7 +123,18 @@ def _perlin_noise(table, pid, p: Vec3):
                     * (dk * ww + (1 - dk) * (1.0 - ww))
                 )
                 total = total + wgt * corner
-    return total
+
+    # SmoothType::None (noise.rs:99-110): nearest lattice point at 4x scale
+    ni = (4.0 * p.x).astype(jnp.int32) & mask
+    nj = (4.0 * p.y).astype(jnp.int32) & mask
+    nk = (4.0 * p.z).astype(jnp.int32) & mask
+    nidx = table.perm[pid, 0, ni] ^ table.perm[pid, 1, nj] ^ table.perm[pid, 2, nk]
+    none_val = jnp.where(
+        table.perlin_is_vec[pid],
+        table.perlin_vec[pid, nidx][..., 0],  # Vector branch returns v.x
+        table.perlin_float[pid, nidx],
+    )
+    return jnp.where(smooth == 0, none_val, total)
 
 
 def _turbulence(table, pid, p: Vec3, max_depth: int, depth):

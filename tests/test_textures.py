@@ -1,0 +1,63 @@
+"""Texture table evaluation: checker sign, image lookup, perlin modes."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from raysnail_tpu import ir, textures as texlib
+from raysnail_tpu.prelude.vec import Vec3
+from raysnail_tpu.scene import SceneBuilder
+
+
+def table_for(*specs):
+    b = SceneBuilder()
+    for i, s in enumerate(specs):
+        b.add(ir.Sphere((i * 3.0, 0, 0), 1.0, ir.Lambertian(s)))
+    scene = b.compile()
+    return scene.arrays.textures, scene.static.tex_modes, scene
+
+
+def test_checker_sign():
+    t, modes, scene = table_for(ir.Checker(ir.Constant((1, 0, 0)), ir.Constant((0, 1, 0)), 2.0))
+    tex_id = scene.arrays.materials.tex_id[scene.arrays.spheres.mat_id[0]]
+    n = 8
+    tid = jnp.full(n, tex_id, jnp.int32)
+    # sin(2*x)sin(2*y)sin(2*z) > 0 at (0.5,0.5,0.5) -> even color (green)
+    p = Vec3.full((0.5, 0.5, 0.5), (n,))
+    c = texlib.evaluate(t, tid, jnp.zeros(n), jnp.zeros(n), p, modes)
+    np.testing.assert_allclose(np.asarray(c.to_array())[0], [0, 1, 0], atol=1e-6)
+    # negative sign -> odd color (red)
+    p2 = Vec3.full((0.5, 0.5, -0.5), (n,))
+    c2 = texlib.evaluate(t, tid, jnp.zeros(n), jnp.zeros(n), p2, modes)
+    np.testing.assert_allclose(np.asarray(c2.to_array())[0], [1, 0, 0], atol=1e-6)
+
+
+def test_perlin_modes_differ_and_are_bounded():
+    specs = [ir.Noise(kind="normal", scale=1.0, vector=True, smooth=s)
+             for s in ("hermitian", "linear", "none")]
+    t, modes, scene = table_for(*specs)
+    n = 512
+    rng = np.random.default_rng(0)
+    p = Vec3.from_array(jnp.asarray(rng.uniform(-8, 8, (n, 3)), jnp.float32))
+    outs = []
+    for i in range(3):
+        tex_id = scene.arrays.materials.tex_id[scene.arrays.spheres.mat_id[i]]
+        tid = jnp.full(n, tex_id, jnp.int32)
+        c = texlib.evaluate(t, tid, jnp.zeros(n), jnp.zeros(n), p, modes)
+        v = np.asarray(c.x)
+        assert np.isfinite(v).all()
+        outs.append(v)
+    assert np.abs(outs[0] - outs[1]).max() > 1e-4  # hermitian vs linear differ
+    assert np.abs(outs[0] - outs[2]).max() > 1e-4  # vs none
+
+
+def test_marble_bounded():
+    t, modes, scene = table_for(ir.Noise(kind="marble", scale=4.0, vector=True))
+    tex_id = scene.arrays.materials.tex_id[scene.arrays.spheres.mat_id[0]]
+    n = 256
+    rng = np.random.default_rng(1)
+    p = Vec3.from_array(jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32))
+    tid = jnp.full(n, tex_id, jnp.int32)
+    c = texlib.evaluate(t, tid, jnp.zeros(n), jnp.zeros(n), p, modes)
+    v = np.asarray(c.x)
+    assert (v >= 0).all() and (v <= 1.0).all()
+    assert v.std() > 0.05  # actually varies
