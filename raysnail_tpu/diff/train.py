@@ -30,6 +30,10 @@ def render_image_diff(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                       params: SceneParams, key, sample_ids) -> Vec3:
     """Differentiable mean-radiance image (flat (H*W,) Vec3, linear — no
     gamma) for a chunk of stratification cells."""
+    # differentiable path stays on fused XLA: the pallas kernels don't define
+    # a VJP, and the params -> ray -> hit-distance reparam gradient should
+    # flow identically on every backend
+    cfg = cfg.replace(use_pallas="never")
     arrays = inject_params(scene.arrays, params)
     w, h = cfg.width, cfg.height
     py, px = jnp.meshgrid(jnp.arange(h, dtype=cfg.dtype),

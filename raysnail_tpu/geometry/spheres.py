@@ -65,7 +65,9 @@ def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
     d = ray.direction.map(lambda a: a[:, None])
     time = ray.time[:, None]
 
-    if use_pallas and not moving:
+    # the kernel pays off on big sphere groups; tiny groups (a handful of
+    # spheres padded to 128 lanes, plus a launch per bounce) are faster fused
+    if use_pallas and not moving and s >= 64:
         from raysnail_tpu.ops import sphere_pallas as sp
 
         pad_n = (-n) % sp.TILE_R

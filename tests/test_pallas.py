@@ -51,7 +51,8 @@ def test_pallas_matches_jnp(rng_np):
 
 def test_pallas_padding_edges(rng_np):
     # n_rays not a multiple of TILE_R; n_spheres not a multiple of LANES
-    g, ray = random_setup(rng_np, n_rays=sp.TILE_R + 3, n_spheres=5)
+    # (>= 64 so the pallas path actually engages)
+    g, ray = random_setup(rng_np, n_rays=sp.TILE_R + 3, n_spheres=69)
     h_ref = spheres.intersect(g, ray, TMIN, TMAX)
     h_pl = spheres.intersect(g, ray, TMIN, TMAX, use_pallas=True,
                              pallas_interpret=True)
@@ -64,9 +65,13 @@ def test_force_config_end_to_end(rng_np):
     from raysnail_tpu.config import RenderConfig
     from raysnail_tpu.scene import SceneBuilder
 
+    rng = np.random.default_rng(3)
     b = SceneBuilder()
     b.add(ir.Sphere((0.0, -100.5, -1.0), 100.0, ir.Lambertian(ir.Constant((0.5, 0.5, 0.5)))))
     b.add(ir.Sphere((0.0, 0.0, -1.0), 0.5, ir.Lambertian(ir.Constant((0.7, 0.3, 0.3)))))
+    for _ in range(70):  # enough spheres that the pallas gate engages
+        c = rng.uniform(-6, 6, 3); c[2] -= 8.0
+        b.add(ir.Sphere(tuple(c), 0.3, ir.Lambertian(ir.Constant(tuple(rng.random(3))))))
     scene = b.compile()
     cfg = RenderConfig(width=24, height=16, samples=4, max_depth=3,
                        ray_batch=1 << 12, gamma=False)
