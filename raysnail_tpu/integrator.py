@@ -74,11 +74,13 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     kinds = static.mat_kinds
     slot, n_uniforms = _slot_layout(kinds, static.has_lights)
 
-    # pallas policy: "auto" runs the kernels on accelerators (measured 3.7x
-    # on the 478-sphere balls scene vs fused XLA), "force" additionally runs
-    # them interpreted off-accelerator (tests), "never" disables
+    # pallas policy: interleaved steady-state A/B on v5e showed fused XLA
+    # beating the sphere kernel (6.8 vs 4.8 Mrays/s on the 478-sphere scene;
+    # identical on small scenes), so "auto" keeps XLA. "force" runs the
+    # kernel (interpreted off-accelerator, for tests) — the hook stays for a
+    # future kernel that wins.
     on_cpu = jax.default_backend() == "cpu"
-    use_pallas = cfg.use_pallas == "force" or (cfg.use_pallas == "auto" and not on_cpu)
+    use_pallas = cfg.use_pallas == "force"
     pallas_interpret = use_pallas and on_cpu
 
     def bounce(carry, b):
