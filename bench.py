@@ -183,6 +183,11 @@ def _configs(small: bool):
 def main():
     import jax
 
+    # persistent compile cache: remote (axon) compiles run 100-400 s cold;
+    # the cache brings repeat runs to seconds
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if os.environ.get("RAYSNAIL_BENCH_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
 

@@ -36,8 +36,13 @@ def main(argv=None):
                     help="write/read resumable render state at this path")
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.getcwd(), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -41,6 +41,10 @@ class TriangleGroup(NamedTuple):
     first: jax.Array    # (M,) int32
     count: jax.Array    # (M,) int32 (0 interior, LEAF_SIZE leaf)
     miss: jax.Array     # (M,) int32
+    # packed layouts for the pallas packet-traversal kernel (ops/bvh_pallas)
+    pk_bb: jax.Array | None = None     # (M, 8) f32
+    pk_links: jax.Array | None = None  # (M, 8) i32
+    pk_tri: jax.Array | None = None    # (F, 16) f32
 
 
 def _tri_hit(g: TriangleGroup, tri_idx, o: Vec3, d: Vec3, t_min, t_max):
@@ -235,3 +239,23 @@ def intersect(group: TriangleGroup, ray, t_min, t_max,
     )
     node, best_t, best_tri, beta, gamma, _ = jax.lax.while_loop(cond, body, init)
     return _finish(group, ray, best_t, best_tri, beta, gamma)
+
+
+def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
+                     interpret: bool = False) -> Hit:
+    """Packet BVH traversal on the TPU (ops/bvh_pallas.py)."""
+    from raysnail_tpu.ops import bvh_pallas
+
+    n = jnp.shape(ray.direction.x)[0]
+    pad = (-n) % bvh_pallas.TILE_R
+
+    def p(a):
+        return jnp.pad(a, (0, pad)) if pad else a
+
+    t, tri_idx, beta, gamma = bvh_pallas.bvh_traverse(
+        (p(ray.origin.x), p(ray.origin.y), p(ray.origin.z)),
+        (p(ray.direction.x), p(ray.direction.y), p(ray.direction.z)),
+        group.pk_bb, group.pk_links, group.pk_tri,
+        jnp.float32(t_min), jnp.float32(t_max), interpret=interpret,
+    )
+    return _finish(group, ray, t[:n], tri_idx[:n], beta[:n], gamma[:n])

@@ -106,7 +106,10 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
     if arrays.triangles is not None:
         # geometry gradients are out of scope: detach the mesh hit (the BVH
         # while_loop is not reverse-differentiable anyway)
-        if scene.static.tri_brute:
+        if use_pallas:
+            tri_hit = triangles.intersect_pallas(arrays.triangles, ray, t_min,
+                                                 t_max, interpret=pallas_interpret)
+        elif scene.static.tri_brute:
             tri_hit = triangles.intersect_brute(arrays.triangles, ray, t_min, t_max)
         else:
             tri_hit = triangles.intersect(arrays.triangles, ray, t_min, t_max)
@@ -542,6 +545,23 @@ def _build_triangles(mesh_list, f32):
         return out
 
     p0o = reorder(p0); p1o = reorder(p1); p2o = reorder(p2)
+
+    # packed layouts for the pallas packet-traversal kernel
+    m = bvh.bb_min.shape[0]
+    fpad = len(p0o)
+    pk_bb = np.zeros((m, 8), np.float32)
+    pk_bb[:, 0:3] = bvh.bb_min
+    pk_bb[:, 3:6] = bvh.bb_max
+    pk_links = np.zeros((m, 8), np.int32)
+    pk_links[:, 0] = bvh.first
+    pk_links[:, 1] = bvh.count
+    pk_links[:, 2] = bvh.miss
+    pk_tri = np.zeros((fpad, 16), np.float32)
+    pk_tri[:, 0:3] = p0o
+    pk_tri[:, 3:6] = p0o - p1o
+    pk_tri[:, 6:9] = p0o - p2o
+    pk_tri[:, 9] = (~pad).astype(np.float32)
+
     return triangles.TriangleGroup(
         p0=Vec3.from_array(f32(p0o)),
         edge_a=Vec3.from_array(f32(p0o - p1o)),
@@ -555,6 +575,9 @@ def _build_triangles(mesh_list, f32):
         first=jnp.asarray(bvh.first),
         count=jnp.asarray(bvh.count),
         miss=jnp.asarray(bvh.miss),
+        pk_bb=jnp.asarray(pk_bb),
+        pk_links=jnp.asarray(pk_links),
+        pk_tri=jnp.asarray(pk_tri),
     )
 
 

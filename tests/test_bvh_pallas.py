@@ -1,0 +1,44 @@
+"""Packet BVH traversal kernel vs the XLA traversal (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from raysnail_tpu import ir
+from raysnail_tpu.camera import Ray
+from raysnail_tpu.geometry import triangles
+from raysnail_tpu.prelude.vec import Vec3
+from raysnail_tpu.scene import _build_triangles
+from raysnail_tpu.scenes.meshes import uv_sphere
+
+TMIN, TMAX = jnp.float32(1e-3), jnp.float32(1e30)
+
+
+def _group(v, f, n):
+    spec = ir.Mesh(vertices=v, indices=f, normals=n)
+    return _build_triangles([(spec, 0)], lambda a: jnp.asarray(np.asarray(a), jnp.float32))
+
+
+def test_packet_traversal_matches_reference(rng_np):
+    v, f, n = uv_sphere(10, 14, center=(0.0, 0.0, -3.0))
+    group = _group(v, f, n)
+    n_rays = 300  # not a multiple of TILE_R -> exercises padding
+    o = rng_np.uniform(-1, 1, (n_rays, 3)).astype(np.float32)
+    d = rng_np.standard_normal((n_rays, 3)).astype(np.float32)
+    d[:, 2] -= 2.0  # aim forward-ish
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(
+        origin=Vec3.from_array(jnp.asarray(o)),
+        direction=Vec3.from_array(jnp.asarray(d)),
+        time=jnp.zeros(n_rays, jnp.float32),
+    )
+    h_ref = triangles.intersect(group, ray, TMIN, TMAX)
+    h_pk = triangles.intersect_pallas(group, ray, TMIN, TMAX, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_ref.valid), np.asarray(h_pk.valid))
+    both = np.asarray(h_ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[both], np.asarray(h_pk.t)[both], rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_ref.normal.to_array())[both],
+        np.asarray(h_pk.normal.to_array())[both], atol=1e-3
+    )
