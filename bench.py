@@ -129,21 +129,25 @@ def _configs(small: bool):
     def sdl(name, cfg):
         return build_scene(os.path.join(REPO, "sdl", name), cfg)
 
+    # LAZY: each entry is a thunk — scenes are built (and their arrays
+    # transferred) only when that config actually runs
     out = {}
 
     cfg = RenderConfig(width=200 if small else 800, height=125 if small else 500,
                        samples=4 if small else 65, max_depth=8)
-    out["example.sdl"] = (*sdl("example.sdl", cfg), cfg, 1)
+    out["example.sdl"] = lambda: (*sdl("example.sdl", cfg), cfg, 1)
 
     cfg1 = RenderConfig(width=100 if small else 400, height=57 if small else 225,
                         samples=4 if small else 16, max_depth=8)
-    scene1 = book1.balls_scene(7).compile()
-    out["rtow_13_1"] = (scene1, book1.balls_camera(cfg1.width, cfg1.height), cfg1, 1)
+    out["rtow_13_1"] = lambda: (
+        book1.balls_scene(7).compile(),
+        book1.balls_camera(cfg1.width, cfg1.height), cfg1, 1,
+    )
 
     cfg2 = RenderConfig(width=200 if small else 800, height=125 if small else 500,
                         samples=4 if small else 65, max_depth=8)
-    out["quadric.sdl"] = (*sdl("quadric.sdl", cfg2), cfg2, 1)
-    out["transforms.sdl"] = (*sdl("transforms.sdl", cfg2), cfg2, 1)
+    out["quadric.sdl"] = lambda: (*sdl("quadric.sdl", cfg2), cfg2, 1)
+    out["transforms.sdl"] = lambda: (*sdl("transforms.sdl", cfg2), cfg2, 1)
 
     # OBJ-style mesh + emissive area light (the reference's dragon.obj is not
     # shipped; the knot exercises the same BVH path). Kept modest: the
@@ -159,9 +163,10 @@ def _configs(small: bool):
     b.add(ir.Sphere((4, 6, 3), 1.5, ir.DiffuseLight(ir.Constant((1.0, 0.95, 0.9)), 8.0)),
           light=True)
     b.set_background((0.05, 0.05, 0.08), (0.1, 0.12, 0.2))
-    camm = build_camera(look_from=(0, 1.5, 4), look_at=(0, 0, 0), fov=45,
-                        width=cfgm.width, height=cfgm.height)
-    mesh_entry = (b.compile(), camm, cfgm, 1)
+    def mesh_entry():
+        camm = build_camera(look_from=(0, 1.5, 4), look_at=(0, 0, 0), fov=45,
+                            width=cfgm.width, height=cfgm.height)
+        return (b.compile(), camm, cfgm, 1)
 
     # Mandelbulb distance field with adaptive oversampling, passes=4
     cfgb = RenderConfig(width=120 if small else 500, height=72 if small else 300,
@@ -173,8 +178,8 @@ def _configs(small: bool):
     bb.set_background((0.2, 0.25, 0.35), (0.5, 0.6, 0.8))
     camb = build_camera(look_from=(2.2, 1.4, 2.2), look_at=(0, 0, 0), fov=45,
                         width=cfgb.width, height=cfgb.height)
-    out["mandelbulb-passes4"] = (bb.compile(), camb, cfgb, 2 if small else 4)
-    # mesh last: may still fault the device (serialized BVH gathers)
+    out["mandelbulb-passes4"] = lambda: (bb.compile(), camb, cfgb, 2 if small else 4)
+    # mesh last: heaviest triangle load
     out["mesh+arealight"] = mesh_entry
 
     return out
@@ -201,7 +206,7 @@ def main():
     results = {}
     names = list(configs) if run_all else ["example.sdl"]
     for name in names:
-        scene, camera, cfg, passes = configs[name]
+        scene, camera, cfg, passes = configs[name]()
         mrays, compile_s, wall = _time_render(scene, camera, cfg, passes)
         results[name] = {
             "mrays_primary": round(mrays, 4),
