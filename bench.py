@@ -185,6 +185,29 @@ def _configs(small: bool):
     return out
 
 
+def _wait_for_device(max_tries: int = 4):
+    """The axon tunnel occasionally wedges EXECUTION (compiles still work)
+    after a client is killed mid-run, and recovers after its ~10-min grant
+    timeout. Probe with a tiny fetch in a SUBPROCESS (a wedged fetch blocks
+    uninterruptibly) and wait for recovery before benching."""
+    import subprocess
+    import time as _time
+
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((64,64))*2).sum()))")
+    for attempt in range(max_tries):
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=120,
+                           check=True, capture_output=True)
+            return True
+        except Exception:
+            log(f"bench: device probe failed (attempt {attempt + 1}/"
+                f"{max_tries}); waiting for the tunnel grant timeout")
+            _time.sleep(300)
+    log("bench: device never became healthy")
+    return False
+
+
 def main():
     import jax
 
@@ -198,6 +221,9 @@ def main():
 
     small = os.environ.get("RAYSNAIL_BENCH_SMALL") == "1"
     run_all = "--all" in sys.argv
+
+    if os.environ.get("RAYSNAIL_BENCH_CPU") != "1":
+        _wait_for_device()
 
     configs = _configs(small)
     dev = jax.devices()[0]
