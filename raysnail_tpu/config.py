@@ -57,7 +57,13 @@ class RenderConfig:
 
     # Execution ------------------------------------------------------------
     ray_batch: int = 1 << 17     # rays per device dispatch (tile_pixels * spp chunk)
-    use_pallas: str = "auto"     # "auto" | "never" | "force" (force => interpret off-TPU)
+    use_pallas: str = "auto"     # spheres: "auto" | "never" | "force" (force => interpret off-TPU)
+    mesh_pallas: str = "auto"    # triangle meshes: "auto" (kernel on accelerators,
+                                 # XLA on CPU) | "never" | "force" (interpret off-TPU)
+    mesh_sort: bool = False      # octant-sort rays into coherent packets before
+                                 # the pallas mesh traversal (no-op on other paths).
+                                 # Off: measured net loss at <=10k tris (argsort +
+                                 # 10 gathers cost more than the coherence win)
     rng: str = "auto"            # "auto" | "fast" (counter-hash) | "threefry"
     # "auto" resolves at trace time: threefry on TPU (the fmix32 hash path
     # compiles poorly through the TPU toolchain and ran 10x slower end-to-end

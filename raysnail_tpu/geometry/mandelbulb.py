@@ -41,7 +41,67 @@ STEP_SCALE = 0.5
 
 def distance_est(p: Vec3, iterations: int = DE_ITERATIONS):
     """0.5 ln(r) r / dr with the reference's orbit (raymarching.rs:188-241):
-    starts at the origin, adds p each iteration, bails at |v|^2 > 8."""
+    starts at the origin, adds p each iteration, bails at |v|^2 > 8.
+
+    Trig-free power-8 step: the reference computes sin/cos of 8*arctan2
+    (raymarching.rs:214-226); for integer power 8 these are exactly three
+    double-angle steps from cos(theta) = z/r, sin(theta) = rho/r (and
+    likewise for phi), and r^8 / r^7 are repeated squarings — replacing 2
+    arctan2 + 3 trig + 2 pow per iteration (each a multi-op polynomial
+    expansion on the VPU) with ~20 mul/add. distance_est_trig below is the
+    literal formula, kept as the equivalence oracle for tests."""
+    x = jnp.zeros_like(p.x)
+    y = jnp.zeros_like(p.x)
+    z = jnp.zeros_like(p.x)
+    r = jnp.zeros_like(p.x)
+    dr = jnp.zeros_like(p.x)
+    escaped = jnp.zeros(jnp.shape(p.x), bool)
+    tiny = 1e-30
+
+    def body(_, state):
+        x, y, z, r, dr, escaped = state
+        rho2 = x * x + y * y
+        r2 = rho2 + z * z
+        r_new = jnp.sqrt(r2)
+        rho = jnp.sqrt(rho2)
+        inv_r = 1.0 / jnp.maximum(r_new, tiny)
+        inv_rho = 1.0 / jnp.maximum(rho, tiny)
+        # when rho (or r) is 0 the angles are irrelevant (rp factor is 0 or
+        # sin(theta)=0); arctan2's conventional 0 maps to cos=1, sin=0
+        ct = jnp.where(r_new > tiny, z * inv_r, 1.0)
+        st = jnp.where(r_new > tiny, rho * inv_r, 0.0)
+        cp = jnp.where(rho > tiny, x * inv_rho, 1.0)
+        sp = jnp.where(rho > tiny, y * inv_rho, 0.0)
+        for _i in range(3):  # (c, s) -> (cos 2a, sin 2a), 3x => 8a
+            ct, st = ct * ct - st * st, 2.0 * ct * st
+            cp, sp = cp * cp - sp * sp, 2.0 * cp * sp
+        r4 = r2 * r2
+        rp = r4 * r4                                  # r^8
+        dr_new = (r4 * r2 * r_new) * POWER * dr + 1.0  # r^7 * 8 * dr + 1
+        xn = rp * st * cp + p.x
+        yn = rp * st * sp + p.y
+        zn = rp * ct + p.z
+        esc_now = xn * xn + yn * yn + zn * zn > BAILOUT
+        keep = ~escaped
+        return (
+            jnp.where(keep, xn, x), jnp.where(keep, yn, y), jnp.where(keep, zn, z),
+            jnp.where(keep, rp, r), jnp.where(keep, dr_new, dr),
+            escaped | esc_now,
+        )
+
+    x, y, z, r, dr, escaped = jax.lax.fori_loop(
+        0, iterations, body, (x, y, z, r, dr, escaped)
+    )
+    r = jnp.maximum(r, 1e-12)
+    dr = jnp.maximum(dr, 1e-12)
+    de = 0.5 * jnp.log(r) * r / dr
+    de = jnp.where(jnp.isnan(de), 0.1, de)  # NaN guard (raymarching.rs:131-133)
+    return de, ~escaped  # (distance estimate, inside-set flag)
+
+
+def distance_est_trig(p: Vec3, iterations: int = DE_ITERATIONS):
+    """Literal transcription of the reference's DE (raymarching.rs:188-241);
+    the equivalence oracle for the trig-free distance_est above."""
     x = jnp.zeros_like(p.x)
     y = jnp.zeros_like(p.x)
     z = jnp.zeros_like(p.x)
@@ -74,8 +134,8 @@ def distance_est(p: Vec3, iterations: int = DE_ITERATIONS):
     r = jnp.maximum(r, 1e-12)
     dr = jnp.maximum(dr, 1e-12)
     de = 0.5 * jnp.log(r) * r / dr
-    de = jnp.where(jnp.isnan(de), 0.1, de)  # NaN guard (raymarching.rs:131-133)
-    return de, ~escaped  # (distance estimate, inside-set flag)
+    de = jnp.where(jnp.isnan(de), 0.1, de)
+    return de, ~escaped
 
 
 class MandelbulbNode(NamedTuple):

@@ -41,10 +41,12 @@ class TriangleGroup(NamedTuple):
     first: jax.Array    # (M,) int32
     count: jax.Array    # (M,) int32 (0 interior, LEAF_SIZE leaf)
     miss: jax.Array     # (M,) int32
-    # packed layouts for the pallas packet-traversal kernel (ops/bvh_pallas)
-    pk_bb: jax.Array | None = None     # (M, 8) f32
-    pk_links: jax.Array | None = None  # (M, 8) i32
-    pk_tri: jax.Array | None = None    # (F, 16) f32
+    # packed layouts for the pallas packet-traversal kernel (ops/bvh_pallas):
+    # a second, fat-leaf BVH; pk_remap maps its triangle order -> leaf4 order
+    pk_bb: jax.Array | None = None     # (M2, 8) f32
+    pk_links: jax.Array | None = None  # (M2, 8) i32
+    pk_tri: jax.Array | None = None    # (B, 16, LANES) f32
+    pk_remap: jax.Array | None = None  # (B*LANES,) i32
 
 
 def _tri_hit(g: TriangleGroup, tri_idx, o: Vec3, d: Vec3, t_min, t_max):
@@ -242,20 +244,49 @@ def intersect(group: TriangleGroup, ray, t_min, t_max,
 
 
 def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
-                     interpret: bool = False) -> Hit:
-    """Packet BVH traversal on the TPU (ops/bvh_pallas.py)."""
+                     interpret: bool = False, sort_rays: bool = False) -> Hit:
+    """Packet BVH traversal on the TPU (ops/bvh_pallas.py).
+
+    sort_rays groups rays into packets by direction octant before the walk
+    (stable, so already-coherent primary packets are preserved) — incoherent
+    bounce batches otherwise make every packet visit the union of the whole
+    tree."""
     from raysnail_tpu.ops import bvh_pallas
 
     n = jnp.shape(ray.direction.x)[0]
+    ox, oy, oz = ray.origin.x, ray.origin.y, ray.origin.z
+    dx, dy, dz = ray.direction.x, ray.direction.y, ray.direction.z
+
+    order = None
+    if sort_rays:
+        octant = (
+            (dx < 0).astype(jnp.int32) * 4
+            + (dy < 0).astype(jnp.int32) * 2
+            + (dz < 0).astype(jnp.int32)
+        )
+        order = jnp.argsort(octant, stable=True)
+        take = lambda a: jnp.take(a, order)
+        ox, oy, oz, dx, dy, dz = map(take, (ox, oy, oz, dx, dy, dz))
+
     pad = (-n) % bvh_pallas.TILE_R
 
     def p(a):
         return jnp.pad(a, (0, pad)) if pad else a
 
     t, tri_idx, beta, gamma = bvh_pallas.bvh_traverse(
-        (p(ray.origin.x), p(ray.origin.y), p(ray.origin.z)),
-        (p(ray.direction.x), p(ray.direction.y), p(ray.direction.z)),
+        (p(ox), p(oy), p(oz)), (p(dx), p(dy), p(dz)),
         group.pk_bb, group.pk_links, group.pk_tri,
         jnp.float32(t_min), jnp.float32(t_max), interpret=interpret,
     )
-    return _finish(group, ray, t[:n], tri_idx[:n], beta[:n], gamma[:n])
+    t, tri_idx, beta, gamma = t[:n], tri_idx[:n], beta[:n], gamma[:n]
+    if order is not None:
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(n, dtype=order.dtype))
+        t = jnp.take(t, inv)
+        tri_idx = jnp.take(tri_idx, inv)
+        beta = jnp.take(beta, inv)
+        gamma = jnp.take(gamma, inv)
+    # kernel indices are in fat-leaf order; map into the leaf4 order the
+    # group's normal/material arrays use
+    tri_l4 = jnp.take(group.pk_remap, tri_idx, mode="clip")
+    return _finish(group, ray, t, tri_l4, beta, gamma)

@@ -75,13 +75,18 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     slot, n_uniforms = _slot_layout(kinds, static.has_lights)
 
     # pallas policy: interleaved steady-state A/B on v5e showed fused XLA
-    # beating the sphere kernel (6.8 vs 4.8 Mrays/s on the 478-sphere scene;
-    # identical on small scenes), so "auto" keeps XLA. "force" runs the
-    # kernel (interpreted off-accelerator, for tests) — the hook stays for a
-    # future kernel that wins.
+    # beating the SPHERE kernel (6.8 vs 4.8 Mrays/s on the 478-sphere scene;
+    # identical on small scenes), so sphere "auto" keeps XLA and "force" runs
+    # the kernel (interpreted off-accelerator, for tests). The MESH packet
+    # kernel (ops/bvh_pallas.py v2) beats both XLA paths on accelerators, so
+    # mesh "auto" enables it off-CPU.
     on_cpu = jax.default_backend() == "cpu"
     use_pallas = cfg.use_pallas == "force"
     pallas_interpret = use_pallas and on_cpu
+    mesh_pallas = cfg.mesh_pallas == "force" or (
+        cfg.mesh_pallas == "auto" and not on_cpu
+    )
+    mesh_interpret = mesh_pallas and on_cpu
 
     def bounce(carry, b):
         o, d, time, T, L, alive = carry
@@ -90,7 +95,10 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
         hit = scenelib.intersect(scene, arrays, r, cfg.t_min, cfg.t_max, kb,
                                  use_pallas=use_pallas,
-                                 pallas_interpret=pallas_interpret)
+                                 pallas_interpret=pallas_interpret,
+                                 mesh_pallas=mesh_pallas,
+                                 mesh_interpret=mesh_interpret,
+                                 mesh_sort=cfg.mesh_sort)
 
         # miss -> background, die (camera.rs:254)
         bg = arrays.background.color(d)
@@ -137,7 +145,8 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
             light_multi = jnp.ones(shape, T.dtype)
 
         pdf_dir = Vec3.where(use_light, light_dir, bsdf_dir)
-        val = matlib.bsdf_pdf_value(rows, d, hit.normal, pdf_dir, kinds)
+        val = matlib.bsdf_pdf_value(rows, d, hit.normal, pdf_dir, kinds,
+                                    proper=cfg.proper_mis)
 
         if cfg.proper_mis and static.has_lights:
             # one-sample MIS: denominator = the true mixture density of the

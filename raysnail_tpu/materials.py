@@ -156,27 +156,50 @@ def bsdf_sample(rows: Rows, ray_dir: Vec3, normal: Vec3, uniforms, kinds: frozen
 
 
 def bsdf_pdf_value(rows: Rows, ray_dir: Vec3, normal: Vec3, direction: Vec3,
-                   kinds: frozenset):
-    """srec.pdf.value(direction) for every pdf-driven kind present."""
+                   kinds: frozenset, proper: bool = False):
+    """srec.pdf.value(direction) for every pdf-driven kind present.
+
+    proper=False replicates the reference's quirky densities (used both as
+    numerator and BSDF-branch denominator of the compat estimator).
+    proper=True returns the TRUE density of what bsdf_sample draws — required
+    for an unbiased one-sample-MIS mixture denominator:
+      * DiffuseMetal: the cos^e lobe around the reflected direction
+        ((e+1)/2pi cos_r^e); the reference's ReflectionPdf.value ignores the
+        exponent entirely (pdf.rs:112-120).
+      * BlinnPhong: k * that lobe + (1-k) * cosine — matching the sampler
+        (pdf.rs:162-173 samples the lobe about REFLECTED), where the
+        reference's .value mismatches its own sampler by evaluating a
+        half-vector density (pdf.rs:176-195).
+    The horizon-rejection renormalization of the lobe is ignored in both
+    modes (the reference does the same)."""
     cos_n = direction.dot(normal)
     val = jnp.maximum(0.0, cos_n) * INV_PI  # LAMBERTIAN (pdf.rs:34-43)
 
     if (DIFFUSE_METAL in kinds) or (BLINN_PHONG in kinds):
         reflected = ray_dir.reflect(normal).unit()
+        cos_r = jnp.maximum(0.0, direction.dot(reflected))
         if DIFFUSE_METAL in kinds:
-            # ReflectionPdf.value ignores the exponent (pdf.rs:112-120)
-            cos_r = direction.dot(reflected)
-            val = jnp.where(rows.mtype == DIFFUSE_METAL, jnp.maximum(0.0, cos_r) * INV_PI, val)
+            if proper:
+                e = rows.param0
+                dm = (e + 1.0) / (2.0 * PI) * jnp.power(jnp.maximum(cos_r, 1e-12), e)
+            else:
+                # ReflectionPdf.value ignores the exponent (pdf.rs:112-120)
+                dm = cos_r * INV_PI
+            val = jnp.where(rows.mtype == DIFFUSE_METAL, dm, val)
         if BLINN_PHONG in kinds:
-            # BlinnPhongPdf.value (pdf.rs:176-195)
-            h = (direction - ray_dir).unit()
-            cos_spec = jnp.maximum(0.0, h.dot(normal))
             e = rows.param1
             k = rows.param0
-            normal_pdf = (e + 1.0) / (2.0 * PI) * jnp.power(jnp.maximum(cos_spec, 1e-12), e)
-            denom = (-ray_dir).dot(h)
-            denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-            bp = jnp.maximum(cos_n * INV_PI, 0.0) * (1.0 - k) + normal_pdf / (4.0 * denom) * k
+            if proper:
+                lobe = (e + 1.0) / (2.0 * PI) * jnp.power(jnp.maximum(cos_r, 1e-12), e)
+                bp = k * lobe + (1.0 - k) * jnp.maximum(cos_n, 0.0) * INV_PI
+            else:
+                # BlinnPhongPdf.value (pdf.rs:176-195)
+                h = (direction - ray_dir).unit()
+                cos_spec = jnp.maximum(0.0, h.dot(normal))
+                normal_pdf = (e + 1.0) / (2.0 * PI) * jnp.power(jnp.maximum(cos_spec, 1e-12), e)
+                denom = (-ray_dir).dot(h)
+                denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+                bp = jnp.maximum(cos_n * INV_PI, 0.0) * (1.0 - k) + normal_pdf / (4.0 * denom) * k
             val = jnp.where(rows.mtype == BLINN_PHONG, bp, val)
 
     if ISOTROPIC in kinds:

@@ -1,29 +1,42 @@
-"""Pallas TPU kernel: packet BVH traversal for triangle meshes.
+"""Pallas TPU kernel: packet BVH traversal, phase-split (scalar walk + fat
+vectorized leaf sweep).
 
 XLA lowers the lockstep traversal's per-ray node fetches to serialized
 gathers (measured ~150x slower than everything else), and per-lane dynamic
 indexing isn't a VPU operation at all. The TPU-native formulation is PACKET
-traversal: each grid program owns a tile of rays and walks the skip-link BVH
-with a single SCALAR node pointer — scalar dynamic slices of VMEM arrays are
-legal and fast — visiting the UNION of nodes any ray in the packet needs:
+traversal: each grid program owns a tile of rays and visits the UNION of BVH
+nodes any ray in the packet needs. Two earlier designs lost to the dense
+sweep and taught the layout rules this version is built on:
 
-  * node AABB loaded once per step as scalars, slab-tested against the whole
-    ray tile on the VPU;
-  * descend (node+1) if ANY active lane hits the box, else jump miss[node];
-  * leaves load LEAF_SIZE triangles as scalars and test all lanes.
+  v1 kept rays as (N, 1) columns — every slab op ran on 1 of 128 VPU lanes
+  (~1us/node). v2 vectorized the slab test and made leaves 128 triangles
+  wide, but carried per-ray best-hit state through the traversal while_loop
+  in column layout: four (1024, 1) carries = 512 vregs, spilled and copied
+  every node step (~1.5us/node measured, swamping the 25-cycle math).
 
-Coherent packets (primary rays from a pixel tile) visit nearly the per-ray
-optimal node set; incoherent bounce packets degrade gracefully toward a
-bounded sweep. Triangle and node data live in VMEM whole (fits up to ~100k
-triangles; larger meshes would stream leaf blocks with double-buffered DMA).
+v3 therefore splits the traversal so the serial part touches no vectors:
 
-Round-1 v5e measurement (12k-tri knot, depth-6 bounce rays): bit-identical
-results to the XLA traversal, 7x slower than the dense brute sweep — the
-serial per-packet walk pays ~1us/node and incoherent bounce packets visit
-thousands of nodes. The kernel is therefore the LARGE-mesh path (brute is
-O(F) and wins below ~32k tris); round-2 avenues: BVH8 nodes (4x fewer
-steps), direction-octant ray sorting (packet coherence), leaf test without
-lax.cond.
+  PHASE 1 — scalar walk. The packet's bounds (origin box, inv-direction
+  interval, both reduced once per packet) give a conservative interval slab
+  test per node — ~40 scalar ops, no vector carries at all. Hit leaves push
+  their block id into SMEM scratch. Conservative means it may ADMIT extra
+  leaves (different rays maximize different axes) but never prunes a leaf
+  any ray needs.
+
+  PHASE 2 — fat leaf sweep. fori_loop over the collected blocks; each block
+  holds LANES=128 triangles stored field-major-transposed (B, 128, 16) so
+  triangles land on sublanes and broadcast against the ray rows on lanes:
+  a (128, 128) Cramer solve per ray-row, min-reduced over sublanes into
+  ROW-layout (ROWS, 128) best-hit carries — 4 vregs per carry, no spills.
+
+Coherent packets (primary rays from a pixel tile) collect near the per-ray
+optimal leaf set; incoherent bounce packets degrade toward a bounded dense
+sweep (direction-octant sorting in the wrapper restores partial coherence).
+Triangle data lives in VMEM whole: 8KB per 128-triangle block, ~1M
+triangles; beyond that leaf blocks would stream with double-buffered DMA.
+
+Replaces the recursive traversal of the reference (src/hittable/collection/
+bvh.rs:173-192) and its per-ray AABB slab test (src/prelude/aabb.rs:20-38).
 """
 
 from __future__ import annotations
@@ -35,154 +48,205 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raysnail_tpu.accel.bvh import LEAF_SIZE
 from raysnail_tpu.geometry.hit import BIG
 
-TILE_R = 256  # rays per packet/program
+LANES = 128          # triangles per leaf block == VPU lane count
+ROWS = 8             # sublane rows per ray block (Mosaic f32 minimum)
+TILE_R = ROWS * LANES  # rays per packet/program (1024)
 
 
-def _kernel(ox, oy, oz, dx, dy, dz, bb, links, tri, bounds,
-            t_out, tri_out, beta_out, gamma_out, *, n_nodes: int):
+def _kernel(oxr, oyr, ozr, dxr, dyr, dzr, bb, links, tri, bounds,
+            t_out, tri_out, beta_out, gamma_out, blocks, *,
+            n_nodes: int, n_blocks: int):
     """Refs:
-      rays: (TILE_R, 1) f32 x6
-      bb:   (M, 8)  f32 [min.xyz, max.xyz, pad, pad]
-      links:(M, 8)  i32 [first, count, miss, pad...]
-      tri:  (F, 16) f32 [p0.xyz, ea.xyz, ed.xyz, valid, pad...]
+      rays:  (ROWS, 128) f32 x6
+      bb:    (M, 8)  f32 [min.xyz, max.xyz, pad, pad]
+      links: (M, 8)  i32 [leaf_block, count, miss, pad...]
+      tri:   (B, 128, 16) f32 transposed leaf blocks, fields on the minor
+             axis: 0-2 p0.xyz, 3-5 (p0-p1).xyz, 6-8 (p0-p2).xyz, 9 valid
       bounds: (1, 2) SMEM [t_min, t_max]
+      blocks: (n_blocks,) i32 SMEM scratch — leaf blocks this packet visits
     """
     t_min = bounds[0, 0]
     t_max = bounds[0, 1]
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    o_x, o_y, o_z = oxr[:], oyr[:], ozr[:]
+    d_x, d_y, d_z = dxr[:], dyr[:], dzr[:]
     eps = 1e-12
     inv_x = 1.0 / jnp.where(jnp.abs(d_x) < eps, jnp.where(d_x < 0, -eps, eps), d_x)
     inv_y = 1.0 / jnp.where(jnp.abs(d_y) < eps, jnp.where(d_y < 0, -eps, eps), d_y)
     inv_z = 1.0 / jnp.where(jnp.abs(d_z) < eps, jnp.where(d_z < 0, -eps, eps), d_z)
 
-    def tri_test(f_idx, best):
-        bt, btri, bb_, bg = best
-        row = tri[pl.ds(f_idx, 1), :]        # (1, 16)
-        p0x, p0y, p0z = row[0, 0], row[0, 1], row[0, 2]
-        ax, ay, az = row[0, 3], row[0, 4], row[0, 5]
-        ddx, ddy, ddz = row[0, 6], row[0, 7], row[0, 8]
-        tvalid = row[0, 9]
+    # packet bounds: one-time vector->scalar reductions
+    ox0, ox1 = jnp.min(o_x), jnp.max(o_x)
+    oy0, oy1 = jnp.min(o_y), jnp.max(o_y)
+    oz0, oz1 = jnp.min(o_z), jnp.max(o_z)
+    ix0, ix1 = jnp.min(inv_x), jnp.max(inv_x)
+    iy0, iy1 = jnp.min(inv_y), jnp.max(inv_y)
+    iz0, iz1 = jnp.min(inv_z), jnp.max(inv_z)
 
-        j = p0x - o_x
-        k = p0y - o_y
-        l = p0z - o_z
-        eihf = ddy * d_z - d_y * ddz
-        gfdi = d_x * ddz - ddx * d_z
-        dheg = ddx * d_y - ddy * d_x
-        denom = ax * eihf + ay * gfdi + az * dheg
-        denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-        beta = (j * eihf + k * gfdi + l * dheg) / denom
-        akjb = ax * k - j * ay
-        jcal = j * az - ax * l
-        blkc = ay * l - k * az
-        gamma = (d_z * akjb + d_y * jcal + d_x * blkc) / denom
-        t = -(ddz * akjb + ddy * jcal + ddx * blkc) / denom
-        ok = (
-            (beta >= 0.0) & (beta < 1.0) & (gamma > 0.0) & (beta + gamma < 1.0)
-            & (t >= t_min) & (t <= t_max) & (tvalid > 0.0) & (t < bt)
-        )
-        return (
-            jnp.where(ok, t, bt),
-            jnp.where(ok, f_idx, btri),
-            jnp.where(ok, beta, bb_),
-            jnp.where(ok, gamma, bg),
-        )
+    def axis_interval(plane_lo, plane_hi, o0, o1, i0, i1):
+        """Conservative [min t_enter, max t_exit] of the slab over all rays
+        with origin in [o0,o1] and inv-direction in [i0,i1]."""
+        a0, a1 = plane_lo - o1, plane_lo - o0   # interval of (lo - o)
+        b0, b1 = plane_hi - o1, plane_hi - o0
+        p = (a0 * i0, a0 * i1, a1 * i0, a1 * i1,
+             b0 * i0, b0 * i1, b1 * i0, b1 * i1)
+        lo = jnp.minimum(
+            jnp.minimum(jnp.minimum(p[0], p[1]), jnp.minimum(p[2], p[3])),
+            jnp.minimum(jnp.minimum(p[4], p[5]), jnp.minimum(p[6], p[7])))
+        hi = jnp.maximum(
+            jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3])),
+            jnp.maximum(jnp.maximum(p[4], p[5]), jnp.maximum(p[6], p[7])))
+        return lo, hi
 
-    def body(state):
-        node, bt, btri, bb_, bg = state
-        nrow = bb[pl.ds(node, 1), :]         # (1, 8)
-        lox, loy, loz = nrow[0, 0], nrow[0, 1], nrow[0, 2]
-        hix, hiy, hiz = nrow[0, 3], nrow[0, 4], nrow[0, 5]
-        ta_x = (lox - o_x) * inv_x
-        tb_x = (hix - o_x) * inv_x
-        ta_y = (loy - o_y) * inv_y
-        tb_y = (hiy - o_y) * inv_y
-        ta_z = (loz - o_z) * inv_z
-        tb_z = (hiz - o_z) * inv_z
-        t_near = jnp.maximum(jnp.maximum(jnp.minimum(ta_x, tb_x),
-                                         jnp.minimum(ta_y, tb_y)),
-                             jnp.minimum(ta_z, tb_z))
-        t_far = jnp.minimum(jnp.minimum(jnp.maximum(ta_x, tb_x),
-                                        jnp.maximum(ta_y, tb_y)),
-                            jnp.maximum(ta_z, tb_z))
-        lane_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near < bt)
-        any_hit = jnp.any(lane_hit)
+    # ---- phase 1: scalar walk, collect leaf blocks ----
+    def walk_body(state):
+        node, nhit = state
+        nrow = bb[pl.ds(node, 1), :]          # (1, 8)
+        nx0, nx1 = axis_interval(nrow[0, 0], nrow[0, 3], ox0, ox1, ix0, ix1)
+        ny0, ny1 = axis_interval(nrow[0, 1], nrow[0, 4], oy0, oy1, iy0, iy1)
+        nz0, nz1 = axis_interval(nrow[0, 2], nrow[0, 5], oz0, oz1, iz0, iz1)
+        near_lo = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
+        far_hi = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
+        any_hit = (near_lo <= far_hi) & (far_hi >= t_min) & (near_lo <= t_max)
 
         lrow = links[pl.ds(node, 1), :]
-        first = lrow[0, 0]
-        count = lrow[0, 1]
+        first_blk = lrow[0, 0]
+        is_leaf = lrow[0, 1] > 0
         miss = lrow[0, 2]
-        is_leaf = count > 0
 
-        def do_leaf(best):
-            for s in range(LEAF_SIZE):
-                best = tri_test(first + s, best)
-            return best
+        take = any_hit & is_leaf
 
-        bt, btri, bb_, bg = jax.lax.cond(
-            any_hit & is_leaf, do_leaf, lambda b: b, (bt, btri, bb_, bg)
-        )
+        @pl.when(take)
+        def _():
+            blocks[nhit] = first_blk
+
+        nhit = jnp.where(take, nhit + 1, nhit)
         node = jnp.where(any_hit & (~is_leaf), node + 1, miss)
-        return node, bt, btri, bb_, bg
+        return node, nhit
 
-    def cond(state):
-        return state[0] < n_nodes
+    _, nhit = jax.lax.while_loop(
+        lambda s: s[0] < n_nodes, walk_body,
+        (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
+
+    # ---- phase 2: vectorized sweep over collected leaf blocks ----
+    sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+
+    def leaf_body(i, carry):
+        bt, btri, bbeta, bgamma = carry
+        blk = blocks[i]
+        m = tri[pl.ds(blk, 1), :, :].reshape(LANES, 16)
+        p0x, p0y, p0z = m[:, 0:1], m[:, 1:2], m[:, 2:3]     # (128, 1)
+        ax, ay, az = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+        ddx, ddy, ddz = m[:, 6:7], m[:, 7:8], m[:, 8:9]
+        tvalid = m[:, 9:10]
+
+        new_rows = []
+        for r in range(ROWS):
+            # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131),
+            # (128, 1) triangles x (1, 128) rays -> (128, 128)
+            oxw, oyw, ozw = o_x[r:r+1, :], o_y[r:r+1, :], o_z[r:r+1, :]
+            dxw, dyw, dzw = d_x[r:r+1, :], d_y[r:r+1, :], d_z[r:r+1, :]
+            bt_r = bt[r:r+1, :]
+            j = p0x - oxw
+            k = p0y - oyw
+            l = p0z - ozw
+            eihf = ddy * dzw - dyw * ddz
+            gfdi = dxw * ddz - ddx * dzw
+            dheg = ddx * dyw - ddy * dxw
+            denom = ax * eihf + ay * gfdi + az * dheg
+            denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+            beta = (j * eihf + k * gfdi + l * dheg) / denom
+            akjb = ax * k - j * ay
+            jcal = j * az - ax * l
+            blkc = ay * l - k * az
+            gamma = (dzw * akjb + dyw * jcal + dxw * blkc) / denom
+            t = -(ddz * akjb + ddy * jcal + ddx * blkc) / denom
+            ok = (
+                (beta >= 0.0) & (beta < 1.0) & (gamma > 0.0)
+                & (beta + gamma < 1.0) & (t >= t_min) & (t <= t_max)
+                & (tvalid > 0.0) & (t < bt_r)
+            )
+            tm = jnp.where(ok, t, BIG)
+            rmin = jnp.min(tm, axis=0, keepdims=True)        # (1, 128) rays
+            arg = jnp.min(jnp.where(tm == rmin, sub, LANES), axis=0,
+                          keepdims=True)
+            sel = sub == arg
+            bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=0, keepdims=True)
+            gsel = jnp.sum(jnp.where(sel, gamma, 0.0), axis=0, keepdims=True)
+            take = rmin < bt_r
+            new_rows.append((
+                jnp.where(take, rmin, bt_r),
+                jnp.where(take, blk * LANES + arg, btri[r:r+1, :]),
+                jnp.where(take, bsel, bbeta[r:r+1, :]),
+                jnp.where(take, gsel, bgamma[r:r+1, :]),
+            ))
+        return (
+            jnp.concatenate([x[0] for x in new_rows], axis=0),
+            jnp.concatenate([x[1] for x in new_rows], axis=0),
+            jnp.concatenate([x[2] for x in new_rows], axis=0),
+            jnp.concatenate([x[3] for x in new_rows], axis=0),
+        )
 
     init = (
-        jnp.asarray(0, jnp.int32),
-        jnp.full((TILE_R, 1), BIG, jnp.float32),
-        jnp.zeros((TILE_R, 1), jnp.int32),
-        jnp.zeros((TILE_R, 1), jnp.float32),
-        jnp.zeros((TILE_R, 1), jnp.float32),
+        jnp.full((ROWS, LANES), BIG, jnp.float32),
+        jnp.zeros((ROWS, LANES), jnp.int32),
+        jnp.zeros((ROWS, LANES), jnp.float32),
+        jnp.zeros((ROWS, LANES), jnp.float32),
     )
-    _, bt, btri, bb_, bg = jax.lax.while_loop(cond, body, init)
+    bt, btri, bbeta, bgamma = jax.lax.fori_loop(0, nhit, leaf_body, init)
     t_out[:] = bt
     tri_out[:] = btri
-    beta_out[:] = bb_
-    gamma_out[:] = bg
+    beta_out[:] = bbeta
+    gamma_out[:] = bgamma
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bvh_traverse(origin_xyz, dir_xyz, bb_packed, links_packed, tri_packed,
                  t_min, t_max, interpret: bool = False):
-    """-> (t, tri_idx, beta, gamma), each (N,). Caller pads N to TILE_R.
+    """-> (t, tri_idx, beta, gamma), each (N,); tri_idx indexes the fat-leaf
+    (pallas) triangle order. Caller pads N to TILE_R.
 
-    bb_packed (M,8) f32, links_packed (M,8) i32, tri_packed (F,16) f32 — see
-    geometry/triangles.pack_for_pallas."""
-    ox, oy, oz = origin_xyz
-    dx, dy, dz = dir_xyz
+    bb_packed (M,8) f32, links_packed (M,8) i32, tri_packed (B,128,16) f32 —
+    see scene._build_triangles."""
+    ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in origin_xyz)
+    dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in dir_xyz)
     n = ox.shape[0]
     assert n % TILE_R == 0, n
     m = bb_packed.shape[0]
+    n_blocks = tri_packed.shape[0]
 
-    col = lambda a: a.reshape(-1, 1)
+    row = lambda a: a.reshape(-1, LANES)
     bounds = jnp.asarray([[t_min, t_max]], jnp.float32)
 
-    ray_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full2 = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full3 = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
 
     t, tri_idx, beta, gamma = pl.pallas_call(
-        functools.partial(_kernel, n_nodes=m),
+        functools.partial(_kernel, n_nodes=m, n_blocks=n_blocks),
         grid=(n // TILE_R,),
-        in_specs=[ray_spec] * 6 + [full(bb_packed), full(links_packed),
-                                   full(tri_packed),
-                                   pl.BlockSpec((1, 2), lambda i: (0, 0),
-                                                memory_space=pltpu.SMEM)],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        in_specs=[row_spec] * 6
+        + [full2(bb_packed), full2(links_packed), full3(tri_packed),
+           pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=(row_spec, row_spec, row_spec, row_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            # whole-mesh VMEM residency: 8KB per 128-tri block; Mosaic's
+            # default 16MB scoped limit caps at ~30k tris, v5e has 128MB
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        scratch_shapes=[pltpu.SMEM((max(n_blocks, 1),), jnp.int32)],
         interpret=interpret,
     )(
-        col(ox), col(oy), col(oz), col(dx), col(dy), col(dz),
+        row(ox), row(oy), row(oz), row(dx), row(dy), row(dz),
         bb_packed, links_packed, tri_packed, bounds,
     )
-    return t[:, 0], tri_idx[:, 0], beta[:, 0], gamma[:, 0]
+    flat = lambda a: a.reshape(-1)
+    return flat(t), flat(tri_idx), flat(beta), flat(gamma)

@@ -81,7 +81,9 @@ class Scene:
 
 
 def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
-              use_pallas: bool = False, pallas_interpret: bool = False) -> Hit:
+              use_pallas: bool = False, pallas_interpret: bool = False,
+              mesh_pallas: bool = False, mesh_interpret: bool = False,
+              mesh_sort: bool = False) -> Hit:
     """Closest hit across all primitive groups. `arrays` is passed separately
     so a jitted caller can thread traced arrays while `scene` supplies the
     static structure. `key` is the per-ray key batch (only media draw from
@@ -106,9 +108,11 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
     if arrays.triangles is not None:
         # geometry gradients are out of scope: detach the mesh hit (the BVH
         # while_loop is not reverse-differentiable anyway)
-        if use_pallas:
-            tri_hit = triangles.intersect_pallas(arrays.triangles, ray, t_min,
-                                                 t_max, interpret=pallas_interpret)
+        if use_pallas or mesh_pallas:
+            tri_hit = triangles.intersect_pallas(
+                arrays.triangles, ray, t_min, t_max,
+                interpret=pallas_interpret or mesh_interpret,
+                sort_rays=mesh_sort)
         elif scene.static.tri_brute:
             tri_hit = triangles.intersect_brute(arrays.triangles, ray, t_min, t_max)
         else:
@@ -546,21 +550,41 @@ def _build_triangles(mesh_list, f32):
 
     p0o = reorder(p0); p1o = reorder(p1); p2o = reorder(p2)
 
-    # packed layouts for the pallas packet-traversal kernel
-    m = bvh.bb_min.shape[0]
-    fpad = len(p0o)
+    # packed layouts for the pallas packet-traversal kernel: a SECOND bvh
+    # with fat LANES-wide leaves (ops/bvh_pallas.py) whose triangle order
+    # maps back into the leaf4 order via pk_remap, so the hit finisher's
+    # normal/material gathers are shared between paths.
+    from raysnail_tpu.ops.bvh_pallas import LANES
+
+    fat = build_bvh(bb_min, bb_max, leaf_size=LANES)
+    fat_order = fat.prim_order
+    fat_pad = fat_order < 0
+    fat_safe = np.where(fat_pad, 0, fat_order)
+    # position of each original prim in the leaf4 order
+    pos_l4 = np.zeros(len(p0), np.int64)
+    nonpad = order >= 0
+    pos_l4[order[nonpad]] = np.nonzero(nonpad)[0]
+    pk_remap = np.where(fat_pad, 0, pos_l4[fat_safe]).astype(np.int32)
+
+    m = fat.bb_min.shape[0]
     pk_bb = np.zeros((m, 8), np.float32)
-    pk_bb[:, 0:3] = bvh.bb_min
-    pk_bb[:, 3:6] = bvh.bb_max
+    pk_bb[:, 0:3] = fat.bb_min
+    pk_bb[:, 3:6] = fat.bb_max
     pk_links = np.zeros((m, 8), np.int32)
-    pk_links[:, 0] = bvh.first
-    pk_links[:, 1] = bvh.count
-    pk_links[:, 2] = bvh.miss
-    pk_tri = np.zeros((fpad, 16), np.float32)
-    pk_tri[:, 0:3] = p0o
-    pk_tri[:, 3:6] = p0o - p1o
-    pk_tri[:, 6:9] = p0o - p2o
-    pk_tri[:, 9] = (~pad).astype(np.float32)
+    pk_links[:, 0] = fat.first // LANES   # leaf block index
+    pk_links[:, 1] = fat.count
+    pk_links[:, 2] = fat.miss
+    fp0 = p0[fat_safe]
+    fp1 = p1[fat_safe]
+    fp2 = p2[fat_safe]
+    n_blocks = len(fat_order) // LANES
+    # transposed leaf blocks: triangles on the sublane axis, fields minor
+    pk_tri = np.zeros((n_blocks, LANES, 16), np.float32)
+    fields = np.concatenate(
+        [fp0, fp0 - fp1, fp0 - fp2,
+         (~fat_pad).astype(np.float64)[:, None]], axis=1,
+    )  # (F_fat, 10)
+    pk_tri[:, :, :10] = fields.reshape(n_blocks, LANES, 10)
 
     return triangles.TriangleGroup(
         p0=Vec3.from_array(f32(p0o)),
@@ -578,6 +602,7 @@ def _build_triangles(mesh_list, f32):
         pk_bb=jnp.asarray(pk_bb),
         pk_links=jnp.asarray(pk_links),
         pk_tri=jnp.asarray(pk_tri),
+        pk_remap=jnp.asarray(pk_remap),
     )
 
 

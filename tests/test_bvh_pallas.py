@@ -42,3 +42,10 @@ def test_packet_traversal_matches_reference(rng_np):
         np.asarray(h_ref.normal.to_array())[both],
         np.asarray(h_pk.normal.to_array())[both], atol=1e-3
     )
+    # octant-sorted path: permutation must round-trip exactly
+    h_srt = triangles.intersect_pallas(group, ray, TMIN, TMAX,
+                                       interpret=True, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(h_pk.valid), np.asarray(h_srt.valid))
+    np.testing.assert_array_equal(np.asarray(h_pk.t), np.asarray(h_srt.t))
+    np.testing.assert_array_equal(
+        np.asarray(h_pk.mat_id), np.asarray(h_srt.mat_id))

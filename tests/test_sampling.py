@@ -3,6 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raysnail_tpu.prelude import rng, sampling
+from raysnail_tpu.prelude.sampling import PI
 from raysnail_tpu.prelude.vec import Vec3, vec
 
 N = 200_000
@@ -99,3 +100,62 @@ def test_cosine_pdf_value():
     np.testing.assert_allclose(float(sampling.cosine_pdf_value(w, d)), 1.0 / np.pi, rtol=1e-6)
     d2 = vec(0.0, 0.0, -1.0)
     assert float(sampling.cosine_pdf_value(w, d2)) == 0.0
+
+
+def _rows(mtype, p0, p1, n):
+    from raysnail_tpu import materials as m
+    z = jnp.zeros(n, jnp.float32)
+    return m.Rows(
+        mtype=jnp.full(n, mtype, jnp.int32), tex_id=jnp.zeros(n, jnp.int32),
+        param0=jnp.full(n, p0, jnp.float32), param1=jnp.full(n, p1, jnp.float32),
+        emit_mult=z, phong_factor=z, phong_exponent=z,
+    )
+
+
+def test_proper_bsdf_pdf_integrates_to_one():
+    """proper=True densities must integrate to 1 over the sphere (the MIS
+    mixture denominator is only unbiased for a true density)."""
+    from raysnail_tpu import materials as m
+
+    n = N
+    u1, u2 = _uv(5, n)
+    d = sampling.unit_sphere_direction(u1, u2)     # uniform sphere samples
+    normal = Vec3.full((0.0, 0.0, 1.0), (n,), jnp.float32)
+    ray_dir = Vec3.full((0.6, 0.0, -0.8), (n,), jnp.float32)  # unit, into surface
+
+    for mtype, p0, p1, kinds in [
+        (m.LAMBERTIAN, 0.0, 0.0, frozenset({m.LAMBERTIAN})),
+        (m.DIFFUSE_METAL, 40.0, 0.0, frozenset({m.DIFFUSE_METAL})),
+        (m.BLINN_PHONG, 0.4, 25.0, frozenset({m.BLINN_PHONG})),
+        (m.ISOTROPIC, 0.0, 0.0, frozenset({m.ISOTROPIC})),
+    ]:
+        rows = _rows(mtype, p0, p1, n)
+        val = m.bsdf_pdf_value(rows, ray_dir, normal, d, kinds, proper=True)
+        integral = float(jnp.mean(val) * 4.0 * PI)
+        np.testing.assert_allclose(integral, 1.0, atol=0.03), (mtype, integral)
+
+
+def test_proper_bsdf_pdf_matches_sampler():
+    """E[1/p(x)] over x ~ p equals the measure of the support (sampler
+    consistency for the proper DiffuseMetal lobe density)."""
+    from raysnail_tpu import materials as m
+    from raysnail_tpu.prelude import rng as prng
+
+    n = N
+    e = 40.0
+    us = prng.uniforms(prng.key(9), 2 + 2 * m.REJECT_TRIES + 1, (n,))
+    normal = Vec3.full((0.0, 0.0, 1.0), (n,), jnp.float32)
+    ray_dir = Vec3.full((0.0, 0.0, -1.0), (n,), jnp.float32)  # normal incidence
+    rows = _rows(m.DIFFUSE_METAL, e, 0.0, n)
+    d = m.bsdf_sample(rows, ray_dir, normal, us, frozenset({m.DIFFUSE_METAL}))
+    val = m.bsdf_pdf_value(rows, ray_dir, normal, d, frozenset({m.DIFFUSE_METAL}),
+                           proper=True)
+    # importance-sampling identity: for a second density q on the same
+    # support (a sharper lobe, so q/p is bounded), E_p[q/p] = 1. At normal
+    # incidence the lobe sits entirely above the horizon, so no rejection
+    # distortion.
+    e2 = 2.0 * e
+    cos_r = jnp.maximum(0.0, d.dot(Vec3.full((0.0, 0.0, 1.0), (n,), jnp.float32)))
+    q = (e2 + 1.0) / (2.0 * PI) * jnp.power(jnp.maximum(cos_r, 1e-12), e2)
+    est = float(jnp.mean(q / jnp.maximum(val, 1e-12)))
+    np.testing.assert_allclose(est, 1.0, rtol=0.02)
