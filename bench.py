@@ -208,6 +208,48 @@ def _wait_for_device(max_tries: int = 4):
     return False
 
 
+def _run_one(name: str, small: bool) -> dict:
+    """Run a single named config in THIS process and return its result dict."""
+    if name == "example-fwd+bwd":
+        return _time_grad_step(small)
+    configs = _configs(small)
+    scene, camera, cfg, passes = configs[name]()
+    mrays, compile_s, wall = _time_render(scene, camera, cfg, passes)
+    return {
+        "mrays_primary": round(mrays, 4),
+        "compile_s": round(compile_s, 1),
+        "steady_s": round(wall, 2),
+        "size": f"{cfg.width}x{cfg.height}@{cfg.effective_samples}spp",
+        "passes": passes,
+    }
+
+
+def _run_isolated(name: str, timeout_s: int = 2400) -> dict:
+    """Run one config in a SUBPROCESS so a wedged device execution (which
+    blocks uninterruptibly in the axon client) can't kill the whole --all
+    sweep; re-probe device health after a failure."""
+    import subprocess
+
+    env = dict(os.environ)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", name],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+        sys.stderr.write(out.stderr)
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": f"no result line (exit {out.returncode})"}
+    except subprocess.TimeoutExpired:
+        log(f"bench[{name}]: TIMEOUT after {timeout_s}s; re-probing device")
+        _wait_for_device()
+        return {"error": f"timeout after {timeout_s}s"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main():
     import jax
 
@@ -222,39 +264,32 @@ def main():
     small = os.environ.get("RAYSNAIL_BENCH_SMALL") == "1"
     run_all = "--all" in sys.argv
 
+    if "--config" in sys.argv:
+        # child mode: one config, one JSON line on stdout
+        name = sys.argv[sys.argv.index("--config") + 1]
+        print(json.dumps(_run_one(name, small)), flush=True)
+        return
+
     if os.environ.get("RAYSNAIL_BENCH_CPU") != "1":
         _wait_for_device()
 
-    configs = _configs(small)
     dev = jax.devices()[0]
     log(f"bench: device={dev} small={small} all={run_all}")
 
     results = {}
-    names = list(configs) if run_all else ["example.sdl"]
-    for name in names:
-        scene, camera, cfg, passes = configs[name]()
-        mrays, compile_s, wall = _time_render(scene, camera, cfg, passes)
-        results[name] = {
-            "mrays_primary": round(mrays, 4),
-            "compile_s": round(compile_s, 1),
-            "steady_s": round(wall, 2),
-            "size": f"{cfg.width}x{cfg.height}@{cfg.effective_samples}spp",
-            "passes": passes,
-        }
-        log(f"bench[{name}]: {results[name]}")
-
     if run_all:
-        try:
-            results["example-fwd+bwd"] = _time_grad_step(small)
-            log(f"bench[example-fwd+bwd]: {results['example-fwd+bwd']}")
-        except Exception as e:
-            results["example-fwd+bwd"] = {"error": f"{type(e).__name__}: {e}"}
-            log(f"bench[example-fwd+bwd] FAILED: {e}")
+        names = list(_configs(small)) + ["example-fwd+bwd"]
+        for name in names:
+            results[name] = _run_isolated(name)
+            log(f"bench[{name}]: {results[name]}")
         with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
             json.dump({"device": str(dev), "results": results}, f, indent=2)
         log("wrote BENCH_DETAILS.json")
+    else:
+        results["example.sdl"] = _run_one("example.sdl", small)
+        log(f"bench[example.sdl]: {results['example.sdl']}")
 
-    mrays = results["example.sdl"]["mrays_primary"]
+    mrays = results["example.sdl"].get("mrays_primary", 0.0)
     print(json.dumps({
         "metric": "example.sdl 800x500@64spp fwd primary rays per second per chip",
         "value": mrays,

@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--preview", action="store_true",
                     help="rewrite the output PNG as passes complete")
+    ap.add_argument("--serve", type=int, nargs="?", const=8765, default=None,
+                    metavar="PORT",
+                    help="serve a live HTTP preview (the reference's SDL2 "
+                         "window equivalent) on PORT [8765]")
     ap.add_argument("--mis", action="store_true",
                     help="physically-correct one-sample MIS instead of the "
                          "reference-compat estimator")
@@ -62,10 +66,19 @@ def main(argv=None):
     print(f"parsed + compiled {args.scene} in {time.time() - t0:.2f}s "
           f"({cfg.effective_samples} effective spp, {args.passes} pass(es))")
 
+    server = None
+    if args.serve is not None:
+        from raysnail_tpu.io.preview import PreviewServer
+
+        server = PreviewServer(port=args.serve)
+        print(f"live preview at http://127.0.0.1:{server.port}/")
+
     def progress(done, total, img=None):
         print(f"  {done}/{total} samples", flush=True)
         if args.preview and img is not None:
             Image.fromarray(colorlib.to_u8(img)).save(args.outfile)
+        if server is not None:
+            return server.target(done, total, img)
 
     t0 = time.time()
     if args.checkpoint and args.passes == 1:

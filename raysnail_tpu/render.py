@@ -170,8 +170,8 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     img = np.array(
         colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
     ).reshape(h, w, 3)
-    if progress is not None:
-        progress(spp, spp * cfg.passes, img)
+    if progress is not None and progress(spp, spp * cfg.passes, img) is False:
+        return img  # cancelled (the Quit the reference never polled)
 
     for k in range(1, cfg.passes):
         redo = calc_noise(img, cfg.compat_noise_bug) >= cfg.noise_threshold
@@ -194,6 +194,7 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         flat = img.reshape(-1, 3)
         flat[idx] = (flat[idx] * k + new_img) / (k + 1.0)
         img = flat.reshape(h, w, 3)
-        if progress is not None:
-            progress(spp * (k + 1), spp * cfg.passes, img)
+        if progress is not None and progress(spp * (k + 1), spp * cfg.passes,
+                                             img) is False:
+            break
     return img
