@@ -121,6 +121,15 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         emit = matlib.emitted(rows, tex_color)
         L = L + Vec3.where(active, T * emit, Vec3.zeros(shape, T.dtype))
 
+        if static.has_absorb:
+            # EXTENSION (off unless a Dielectric sets `absorption`): the
+            # segment that just ended INSIDE a dielectric (back-face hit,
+            # outside=False) attenuates by Beer-Lambert exp(-sigma * t)
+            sigma = matlib.gather_absorb(arrays.materials, mat_id)
+            interior = active & (~hit.outside) & (rows.mtype == matlib.DIELECTRIC)
+            att = (sigma * (-hit.t)).map(jnp.exp)
+            T = Vec3.where(interior, T * att, T)
+
         # -- specular (skip_pdf) path ------------------------------------
         skip = matlib.is_skip_pdf(rows)
         u_refl = u[slot["refl"]] if "refl" in slot else hit.t  # unused if absent

@@ -90,6 +90,10 @@ class Dielectric:
     rgb: tuple = (1.0, 1.0, 1.0)
     ior: float = 1.5
     schlick: bool = False   # .reflect_curve(Glass) in the reference
+    # EXTENSION (not in the reference, which only has the flat `rgb` tint,
+    # dielectric.rs:82-93): per-channel Beer-Lambert absorption coefficient;
+    # interior path segments attenuate by exp(-absorption * distance)
+    absorption: tuple = (0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,6 +55,9 @@ class MaterialTable(NamedTuple):
     mix_prob: jax.Array       # (M,) MixedMaterial probability of row mix_a
     mix_a: jax.Array          # (M,) int32
     mix_b: jax.Array          # (M,) int32
+    # EXTENSION: Beer-Lambert absorption for dielectric interiors; None when
+    # no material uses it (the integrator then skips the term entirely)
+    absorb: "Vec3 | None" = None
 
 
 class Rows(NamedTuple):
@@ -205,6 +208,18 @@ def bsdf_pdf_value(rows: Rows, ray_dir: Vec3, normal: Vec3, direction: Vec3,
     if ISOTROPIC in kinds:
         val = jnp.where(rows.mtype == ISOTROPIC, 1.0 / (4.0 * PI), val)
     return val
+
+
+def gather_absorb(table: MaterialTable, mat_id) -> Vec3:
+    """Per-ray Beer-Lambert absorption coefficients (extension)."""
+    if jax.default_backend() != "cpu" and table.mtype.shape[0] <= 1024:
+        from raysnail_tpu.geometry import hit as hitlib
+
+        onehot = hitlib.onehot_of(mat_id, table.mtype.shape[0])
+        return Vec3(*(hitlib.select_table(onehot, a)
+                      for a in (table.absorb.x, table.absorb.y, table.absorb.z)))
+    return Vec3(table.absorb.x[mat_id], table.absorb.y[mat_id],
+                table.absorb.z[mat_id])
 
 
 def specular_dir(rows: Rows, ray_dir: Vec3, normal: Vec3, outside, u_reflect,

@@ -66,6 +66,7 @@ class SceneStatic:
     n_csg: int
     sphere_chunk: int = 512
     tri_brute: bool = False   # dense sweep instead of BVH walk (small meshes)
+    has_absorb: bool = False  # any dielectric with Beer-Lambert absorption
 
 
 @dataclasses.dataclass
@@ -220,7 +221,7 @@ class _Tables:
             return self.mat_index[spec]
         row = dict(mtype=matlib.LAMBERTIAN, tex_id=0, param0=0.0, param1=0.0,
                    emit_mult=0.0, phong_factor=0.0, phong_exponent=1.0,
-                   mix_prob=0.0, mix_a=0, mix_b=0)
+                   mix_prob=0.0, mix_a=0, mix_b=0, absorb=(0.0, 0.0, 0.0))
         if isinstance(spec, ir.Lambertian):
             row.update(mtype=matlib.LAMBERTIAN, tex_id=self.texture(spec.texture),
                        phong_factor=spec.phong_factor, phong_exponent=spec.phong_exponent)
@@ -233,7 +234,8 @@ class _Tables:
                        phong_factor=spec.phong_factor, phong_exponent=spec.phong_exponent)
         elif isinstance(spec, ir.Dielectric):
             row.update(mtype=matlib.DIELECTRIC, tex_id=self.texture(ir.Constant(spec.rgb)),
-                       param0=spec.ior, param1=1.0 if spec.schlick else 0.0)
+                       param0=spec.ior, param1=1.0 if spec.schlick else 0.0,
+                       absorb=tuple(spec.absorption))
         elif isinstance(spec, ir.BlinnPhong):
             row.update(mtype=matlib.BLINN_PHONG, tex_id=self.texture(spec.texture),
                        param0=spec.k_specular, param1=spec.exponent,
@@ -477,6 +479,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
 
     mr = tables.mat_rows
     mat_kinds = frozenset(r["mtype"] for r in mr)
+    has_absorb = any(any(c != 0.0 for c in r["absorb"]) for r in mr)
     material_table = matlib.MaterialTable(
         mtype=jnp.asarray([r["mtype"] for r in mr], jnp.int32),
         tex_id=jnp.asarray([r["tex_id"] for r in mr], jnp.int32),
@@ -488,6 +491,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         mix_prob=f32([r["mix_prob"] for r in mr]),
         mix_a=jnp.asarray([r["mix_a"] for r in mr], jnp.int32),
         mix_b=jnp.asarray([r["mix_b"] for r in mr], jnp.int32),
+        absorb=Vec3.from_array(f32([r["absorb"] for r in mr])) if has_absorb else None,
     )
 
     arrays = SceneArrays(
@@ -505,6 +509,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         n_media=len(media_nodes),
         n_csg=len(csg_trees),
         tri_brute=tri_brute,
+        has_absorb=has_absorb,
     )
     return Scene(arrays=arrays, static=static, csg_trees=tuple(csg_trees),
                  media=tuple(media_nodes), mandelbulbs=tuple(bulbs))

@@ -69,6 +69,10 @@ class SceneData:
     lights: list
 
 
+_MATERIAL_TYPES = (ir.Lambertian, ir.Metal, ir.DiffuseMetal, ir.Dielectric,
+                   ir.BlinnPhong, ir.DiffuseLight, ir.Isotropic, ir.Mixed)
+
+
 class ParseError(Exception):
     pass
 
@@ -211,9 +215,16 @@ class SdlParser:
         return LightData(location=loc, color=color)
 
     def parse_color(self):
-        """'color' ['rgb'] <v> (sdl_parser.rs pigment/light color)."""
+        """'color' ['rgb'] <v> (sdl_parser.rs pigment/light color).
+        EXTENSION over the reference grammar: a #declare'd vector identifier
+        may stand in for the <v> literal ('color rgb MyColor')."""
         if self.accept("color"):
             self.accept("rgb")
+            if self.current != "<" and self.current in self.declares \
+                    and isinstance(self.declares[self.current], tuple):
+                v = self.declares[self.current]
+                self.advance()
+                return v
             return self.parse_vector()
         return None
 
@@ -294,6 +305,17 @@ class SdlParser:
         ident = self.current
         self.advance()
         self.expect("=")
+        # EXTENSIONS over the reference (rs:814-851 supports only
+        # float/vector/statement): '#declare N = texture {...};' and
+        # '#declare N = color rgb <...>;'
+        if self.current == "texture":
+            self.declares[ident] = self.parse_texture()
+            self.accept(";")
+            return "#declare"
+        if self.current == "color":
+            self.declares[ident] = tuple(self.parse_color())
+            self.accept(";")
+            return "#declare"
         # scalar expression first, then vector, then statement (rs:814-851)
         save = self.pos
         try:
@@ -342,10 +364,17 @@ class SdlParser:
     # -- texture / material ------------------------------------------------
 
     def parse_texture(self) -> Optional[ir.MaterialSpec]:
-        """texture { pigment? (finish|surface)? } (rs:967-1100)."""
+        """texture { pigment? (finish|surface)? } (rs:967-1100).
+        EXTENSION: 'texture { Name }' instantiates a #declare'd texture."""
         if not self.accept("texture"):
             return None
         self.expect("{")
+        if self.current in self.declares and isinstance(
+                self.declares[self.current], _MATERIAL_TYPES):
+            material = self.declares[self.current]
+            self.advance()
+            self.expect("}")
+            return material
         texture = self.parse_pigment()
         if texture is None:
             texture = ir.Constant((1.0, 1.0, 1.0))

@@ -149,3 +149,29 @@ def test_fixture_files_parse():
 def test_parse_error_reports_line():
     with pytest.raises(ParseError, match="line 2"):
         parse("camera { location <0,0,0> look_at <0,0,1> angle 50 }\nbogus { }")
+
+
+def test_declare_texture_and_color_extension(tmp_path):
+    """EXTENSION: #declare of textures and colors (the reference grammar
+    only allows float/vector/statement, sdl_parser.rs:814-851)."""
+    sdl = tmp_path / "declares_tex.sdl"
+    sdl.write_text("""
+#declare Warm = color rgb <0.9, 0.6, 0.2>;
+#declare Shiny = texture { pigment { color rgb Warm } finish { reflection 0.4 } };
+camera { location <0, 1, -5> look_at <0, 0, 0> angle 45 }
+light { <2, 4, -3> color rgb <1, 1, 1> }
+sphere { <0, 0, 0>, 1 texture { Shiny } }
+sphere { <2, 0, 0>, 1 texture { pigment { color Warm } } }
+""")
+    from raysnail_tpu.sdl.parser import SdlParser
+
+    data = SdlParser.parse(str(sdl))
+    assert len(data.objects) == 2
+    m0 = data.objects[0].material
+    from raysnail_tpu import ir
+    assert isinstance(m0, ir.Mixed)  # reflection 0.4 -> Mixed(Metal, Lambertian)
+    assert m0.probability_1 == 0.4
+    assert m0.material_1.texture.rgb == (0.9, 0.6, 0.2)
+    m1 = data.objects[1].material
+    assert isinstance(m1, ir.Lambertian)
+    assert m1.texture.rgb == (0.9, 0.6, 0.2)
