@@ -179,9 +179,13 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         if n_active == 0:
             break
         idx = np.flatnonzero(redo.ravel())
-        # pad the active set to a power of two (bounds the number of traces)
-        padded = 1 << (int(n_active - 1).bit_length())
-        padded = min(padded, h * w)
+        # pad the active set to one of a FEW fixed buckets (full, full/4,
+        # full/16, ...): every distinct shape is a separate XLA program, and
+        # remote compiles cost tens of seconds — wasted lanes are far cheaper
+        bucket = h * w
+        while bucket // 4 >= max(n_active, 1024):
+            bucket //= 4
+        padded = min(bucket, h * w)
         idx_p = np.pad(idx, (0, padded - n_active), mode="edge")
         px = px_full[idx_p]
         py = py_full[idx_p]
