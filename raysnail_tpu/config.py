@@ -69,10 +69,10 @@ class RenderConfig:
                                  # the pallas mesh traversal (no-op on other paths).
                                  # Off: measured net loss at <=10k tris (argsort +
                                  # 10 gathers cost more than the coherence win)
-    rng: str = "auto"            # "auto" | "fast" (counter-hash) | "threefry"
-    # "auto" resolves at trace time: threefry on TPU (the fmix32 hash path
-    # compiles poorly through the TPU toolchain and ran 10x slower end-to-end
-    # despite fast isolated u32 ops), fast hash on CPU (4x speedup there)
+    rng: str = "auto"            # "auto" (= fast) | "fast" (counter-hash) | "threefry"
+    # fast = murmur3-fmix32 counter hash: 4x on CPU and +62% end-to-end on
+    # TPU v5e (measured after dispatch batching; an earlier 10x-slower TPU
+    # reading predated that regime). threefry remains for crypto-grade draws.
 
     # Adaptive oversampling (multi-pass) ------------------------------------
     passes: int = 1
