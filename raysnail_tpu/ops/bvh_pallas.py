@@ -57,13 +57,15 @@ TILE_R = ROWS * LANES  # rays per packet/program (1024)
 
 def _kernel(oxr, oyr, ozr, dxr, dyr, dzr, bb, links, tri, bounds,
             t_out, tri_out, beta_out, gamma_out, blocks, *,
-            n_nodes: int, n_blocks: int):
+            n_nodes: int, n_blocks: int, kind: str = "tri"):
     """Refs:
       rays:  (ROWS, 128) f32 x6
       bb:    (M, 8)  f32 [min.xyz, max.xyz, pad, pad]
       links: (M, 8)  i32 [leaf_block, count, miss, pad...]
       tri:   (B, 128, 16) f32 transposed leaf blocks, fields on the minor
-             axis: 0-2 p0.xyz, 3-5 (p0-p1).xyz, 6-8 (p0-p2).xyz, 9 valid
+             axis. kind="tri": 0-2 p0.xyz, 3-5 (p0-p1).xyz, 6-8 (p0-p2).xyz,
+             9 valid. kind="sphere": 0-2 center.xyz, 3 r^2, 4 valid (the
+             beta/gamma outputs are zeros).
       bounds: (1, 2) SMEM [t_min, t_max]
       blocks: (n_blocks,) i32 SMEM scratch — leaf blocks this packet visits
     """
@@ -137,50 +139,79 @@ def _kernel(oxr, oyr, ozr, dxr, dyr, dzr, bb, links, tri, bounds,
         bt, btri, bbeta, bgamma = carry
         blk = blocks[i]
         m = tri[pl.ds(blk, 1), :, :].reshape(LANES, 16)
-        p0x, p0y, p0z = m[:, 0:1], m[:, 1:2], m[:, 2:3]     # (128, 1)
-        ax, ay, az = m[:, 3:4], m[:, 4:5], m[:, 5:6]
-        ddx, ddy, ddz = m[:, 6:7], m[:, 7:8], m[:, 8:9]
-        tvalid = m[:, 9:10]
+        if kind == "tri":
+            p0x, p0y, p0z = m[:, 0:1], m[:, 1:2], m[:, 2:3]   # (128, 1)
+            ax, ay, az = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+            ddx, ddy, ddz = m[:, 6:7], m[:, 7:8], m[:, 8:9]
+            tvalid = m[:, 9:10]
+        else:
+            cx, cy, cz = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+            rr2 = m[:, 3:4]
+            tvalid = m[:, 4:5]
 
         new_rows = []
         for r in range(ROWS):
-            # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131),
-            # (128, 1) triangles x (1, 128) rays -> (128, 128)
             oxw, oyw, ozw = o_x[r:r+1, :], o_y[r:r+1, :], o_z[r:r+1, :]
             dxw, dyw, dzw = d_x[r:r+1, :], d_y[r:r+1, :], d_z[r:r+1, :]
             bt_r = bt[r:r+1, :]
-            j = p0x - oxw
-            k = p0y - oyw
-            l = p0z - ozw
-            eihf = ddy * dzw - dyw * ddz
-            gfdi = dxw * ddz - ddx * dzw
-            dheg = ddx * dyw - ddy * dxw
-            denom = ax * eihf + ay * gfdi + az * dheg
-            denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
-            beta = (j * eihf + k * gfdi + l * dheg) / denom
-            akjb = ax * k - j * ay
-            jcal = j * az - ax * l
-            blkc = ay * l - k * az
-            gamma = (dzw * akjb + dyw * jcal + dxw * blkc) / denom
-            t = -(ddz * akjb + ddy * jcal + ddx * blkc) / denom
-            ok = (
-                (beta >= 0.0) & (beta < 1.0) & (gamma > 0.0)
-                & (beta + gamma < 1.0) & (t >= t_min) & (t <= t_max)
-                & (tvalid > 0.0) & (t < bt_r)
-            )
+            if kind == "tri":
+                # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131),
+                # (128, 1) triangles x (1, 128) rays -> (128, 128)
+                j = p0x - oxw
+                k = p0y - oyw
+                l = p0z - ozw
+                eihf = ddy * dzw - dyw * ddz
+                gfdi = dxw * ddz - ddx * dzw
+                dheg = ddx * dyw - ddy * dxw
+                denom = ax * eihf + ay * gfdi + az * dheg
+                denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+                beta = (j * eihf + k * gfdi + l * dheg) / denom
+                akjb = ax * k - j * ay
+                jcal = j * az - ax * l
+                blkc = ay * l - k * az
+                gamma = (dzw * akjb + dyw * jcal + dxw * blkc) / denom
+                t = -(ddz * akjb + ddy * jcal + ddx * blkc) / denom
+                ok = (
+                    (beta >= 0.0) & (beta < 1.0) & (gamma > 0.0)
+                    & (beta + gamma < 1.0) & (t >= t_min) & (t <= t_max)
+                    & (tvalid > 0.0) & (t < bt_r)
+                )
+            else:
+                # half-b quadratic, t1-else-t2 in-range rule
+                # (sphere.rs:83-109); (128,1) spheres x (1,128) rays
+                lx = oxw - cx
+                ly = oyw - cy
+                lz = ozw - cz
+                half_b = dxw * lx + dyw * ly + dzw * lz
+                cc = lx * lx + ly * ly + lz * lz - rr2
+                delta = half_b * half_b - cc
+                sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+                t1 = -half_b - sq
+                t2 = -half_b + sq
+                okd = (delta > 0.0) & (tvalid > 0.0)
+                in1 = okd & (t_min < t1) & (t1 < t_max)
+                in2 = okd & (t_min < t2) & (t2 < t_max)
+                t = jnp.where(in1, t1, t2)
+                ok = (in1 | in2) & (t < bt_r)
+                beta = gamma = t  # unused; selected values are ignored
             tm = jnp.where(ok, t, BIG)
             rmin = jnp.min(tm, axis=0, keepdims=True)        # (1, 128) rays
             arg = jnp.min(jnp.where(tm == rmin, sub, LANES), axis=0,
                           keepdims=True)
             sel = sub == arg
-            bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=0, keepdims=True)
-            gsel = jnp.sum(jnp.where(sel, gamma, 0.0), axis=0, keepdims=True)
             take = rmin < bt_r
+            if kind == "tri":
+                bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=0, keepdims=True)
+                gsel = jnp.sum(jnp.where(sel, gamma, 0.0), axis=0, keepdims=True)
+                nb = jnp.where(take, bsel, bbeta[r:r+1, :])
+                ng = jnp.where(take, gsel, bgamma[r:r+1, :])
+            else:
+                nb = bbeta[r:r+1, :]
+                ng = bgamma[r:r+1, :]
             new_rows.append((
                 jnp.where(take, rmin, bt_r),
                 jnp.where(take, blk * LANES + arg, btri[r:r+1, :]),
-                jnp.where(take, bsel, bbeta[r:r+1, :]),
-                jnp.where(take, gsel, bgamma[r:r+1, :]),
+                nb, ng,
             ))
         return (
             jnp.concatenate([x[0] for x in new_rows], axis=0),
