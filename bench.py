@@ -40,11 +40,11 @@ def _time_render(scene, camera, cfg, passes: int = 1):
     import jax.numpy as jnp
 
     from raysnail_tpu.prelude import rng as prng
-    from raysnail_tpu.render import (_full_grid, _sample_chunks,
+    from raysnail_tpu.render import (_sample_chunks, _tile_grid,
                                      make_sample_step, render_passes)
 
     step = make_sample_step(scene, cfg)
-    px, py = _full_grid(cfg)
+    px, py, _ = _tile_grid(cfg)
     px = jnp.asarray(px, cfg.dtype)
     py = jnp.asarray(py, cfg.dtype)
     key = prng.key(7)
@@ -157,6 +157,25 @@ def _configs(small: bool):
                         samples=4 if small else 65, max_depth=8)
     out["quadric.sdl"] = lambda: (*sdl("quadric.sdl", cfg2), cfg2, 1)
     out["transforms.sdl"] = lambda: (*sdl("transforms.sdl", cfg2), cfg2, 1)
+
+    # book-2 all-features scene: 400 ground boxes, moving sphere, media,
+    # image+perlin textures — the worst-case divergence workload
+    from raysnail_tpu.scenes import book2, cornell
+    cfgb2 = RenderConfig(width=100 if small else 400, height=100 if small else 400,
+                         samples=4 if small else 25, max_depth=8)
+    out["book2"] = lambda: (
+        book2.all_feature_scene(7).compile(),
+        book2.book2_camera(cfgb2.width, cfgb2.height), cfgb2, 1,
+    )
+
+    # cornell box with smoke cartons (subsurface-style media + rect lights)
+    cfgc = RenderConfig(width=100 if small else 400, height=100 if small else 400,
+                        samples=4 if small else 25, max_depth=8)
+    out["cornell-smoke"] = lambda: (
+        cornell.cornell_box(carton=True, carton_rotation=True,
+                            smoke=True).compile(),
+        cornell.cornell_camera(cfgc.width, cfgc.height), cfgc, 1,
+    )
 
     # OBJ-style mesh + emissive area light (the reference's dragon.obj is not
     # shipped; the knot exercises the same BVH path). Kept modest: the

@@ -65,6 +65,10 @@ class RenderConfig:
     use_pallas: str = "auto"     # spheres: "auto" | "never" | "force" (force => interpret off-TPU)
     mesh_pallas: str = "auto"    # triangle meshes: "auto" (kernel on accelerators,
                                  # XLA on CPU) | "never" | "force" (interpret off-TPU)
+    sphere_bvh: str = "auto"     # large static sphere groups (>= 64) through the
+                                 # v4 BVH traversal kernel: "auto" (on for
+                                 # accelerators) | "never" | "force" (interpret
+                                 # off-TPU, for tests)
     mesh_sort: bool = False      # octant-sort rays into coherent packets before
                                  # the pallas mesh traversal (no-op on other paths).
                                  # Off: measured net loss at <=10k tris (argsort +

@@ -211,18 +211,41 @@ class DifferenceNode(NamedTuple):
         return self.plus.normal_at(p)
 
 
-def _override_material(h: CsgHit, mat_id: int) -> CsgHit:
-    """HitRecord::set_material_if_none (hit.rs:69-77)."""
-    if mat_id < 0:
+def _override_material(h: CsgHit, mat_id) -> CsgHit:
+    """HitRecord::set_material_if_none (hit.rs:69-77). mat_id may be a static
+    int or a traced scalar (structure-deduped trees trace one program for
+    many material bindings)."""
+    if isinstance(mat_id, int) and mat_id < 0:
         return h
-    return h._replace(mat_id=jnp.where(h.mat_id < 0, mat_id, h.mat_id))
+    mid = jnp.asarray(mat_id, jnp.int32)
+    return h._replace(
+        mat_id=jnp.where((h.mat_id < 0) & (mid >= 0), mid, h.mat_id))
 
 
 def intersect_trees(trees, ray, t_min, t_max) -> Hit:
-    """Closest hit over a tuple of CSG trees (unrolled; scenes have few)."""
+    """Closest hit over a tuple of CSG trees.
+
+    Trees with identical pytree STRUCTURE (same node/leaf shapes — e.g. the
+    four quadric-cap intersections of quadric.sdl, or declares.sdl's 7-blade
+    #while fan) are stacked parameter-wise and evaluated by ONE traced
+    program under lax.map, so program size stays O(distinct structures)
+    instead of O(trees) — remote XLA compiles cost tens of seconds each."""
     from raysnail_tpu.geometry.hit import combine_hits, miss
 
     best = miss(jnp.shape(ray.direction.x), ray.direction.dtype)
+    groups: dict = {}
     for tree in trees:
-        best = combine_hits(best, tree.hit(ray, t_min, t_max).to_hit())
+        groups.setdefault(jax.tree_util.tree_structure(tree), []).append(tree)
+
+    for group in groups.values():
+        if len(group) == 1:
+            best = combine_hits(best, group[0].hit(ray, t_min, t_max).to_hit())
+            continue
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *group)
+        hits = jax.lax.map(lambda tr: tr.hit(ray, t_min, t_max).to_hit(),
+                           stacked)
+        for i in range(len(group)):
+            best = combine_hits(
+                best, jax.tree_util.tree_map(lambda a: a[i], hits))
     return best

@@ -1,8 +1,12 @@
-"""Batched axis-aligned rectangle intersection.
+"""Batched axis-aligned (and transformed) rectangle intersection.
 
 The reference's AARect family (src/hittable/geometry/rect.rs) stores an axis
 permutation (a0, a1, k); here the group keeps a per-primitive k-axis index and
 selects ray components with gathers, so XY/XZ/YZ rects share one dense test.
+Transformed rects (the reference wraps them in a TfFacade,
+src/hittable/transform/tf_facade.rs:41-54) carry a per-rect world->object
+affine and intersect in object space, with correct inverse-transpose normals
+(unlike the facade's untransformed-normal quirk at tf_facade.rs:49-53).
 Light sampling on XZ rects lives in the light-sampling module.
 """
 
@@ -14,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from raysnail_tpu.geometry import hit as hitlib
+from raysnail_tpu.geometry.boxes import _apply_rows, _apply_rows_t
 from raysnail_tpu.geometry.hit import BIG, Hit
 from raysnail_tpu.prelude.vec import Vec3
 
@@ -27,6 +32,10 @@ class RectGroup(NamedTuple):
     b1: jax.Array
     mat_id: jax.Array
     active: jax.Array
+    # Optional orientation (None => all axis-aligned): world -> object rows,
+    # identity for untransformed members of a mixed group
+    inv_rows: tuple | None = None  # (row0: Vec3, row1: Vec3, row2: Vec3), (R,)
+    inv_off: Vec3 | None = None    # (R,)
 
 
 def _ab_axes(k_axis):
@@ -45,6 +54,12 @@ def _comp(v: Vec3, axis):
 def intersect(group: RectGroup, ray, t_min, t_max) -> Hit:
     o = ray.origin.map(lambda a: a[:, None])
     d = ray.direction.map(lambda a: a[:, None])
+    oriented = group.inv_rows is not None
+    if oriented:
+        rows = tuple(r.map(lambda a: a[None, :]) for r in group.inv_rows)
+        off = group.inv_off.map(lambda a: a[None, :])
+        o = _apply_rows(rows, off, o, translate=True)
+        d = _apply_rows(rows, off, d, translate=False)
     k_axis = group.k_axis[None, :]
     a_axis, b_axis = _ab_axes(k_axis)
 
@@ -72,6 +87,10 @@ def intersect(group: RectGroup, ray, t_min, t_max) -> Hit:
         jnp.where(ksel == 1, 1.0, 0.0),
         jnp.where(ksel == 2, 1.0, 0.0),
     )
+    if oriented:
+        rows_sel = tuple(hitlib.select_table_vec(onehot, r)
+                         for r in group.inv_rows)
+        geom_n = _apply_rows_t(rows_sel, geom_n).unit()
     a0 = hitlib.select_table(onehot, group.a0)
     a1 = hitlib.select_table(onehot, group.a1)
     b0 = hitlib.select_table(onehot, group.b0)

@@ -26,6 +26,11 @@ class SphereGroup(NamedTuple):
     speed: Vec3         # (S,) motion-blur velocity
     mat_id: jax.Array   # (S,) int32
     active: jax.Array   # (S,) bool — False for padding rows
+    # packed BVH for the pallas traversal kernel (ops/bvh_pallas.py), built
+    # for static groups of >= 64 spheres (scene._compile)
+    pk_bb: jax.Array | None = None     # (M, 8) f32
+    pk_links: jax.Array | None = None  # (M, 4) i32
+    pk_sph: jax.Array | None = None    # (B, 8, LANES) f32
 
 
 def pair_t(group: SphereGroup, origin: Vec3, direction: Vec3, time, t_min, t_max,
@@ -56,9 +61,14 @@ def pair_t(group: SphereGroup, origin: Vec3, direction: Vec3, time, t_min, t_max
 
 def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
               chunk: int = 512, need_uv: bool = True,
-              use_pallas: bool = False, pallas_interpret: bool = False) -> Hit:
+              use_pallas: bool = False, pallas_interpret: bool = False,
+              use_bvh: bool = False, bvh_interpret: bool = False,
+              active=None) -> Hit:
     """Closest sphere hit per ray. Group arrays must be padded to a multiple
     of `chunk` (scene compile guarantees this)."""
+    if use_bvh and group.pk_bb is not None:
+        return _intersect_bvh(group, ray, t_min, t_max, active=active,
+                              need_uv=need_uv, interpret=bvh_interpret)
     n = jnp.shape(ray.direction.x)[0]
     s = group.radius.shape[0]
     o = ray.origin.map(lambda a: a[:, None])
@@ -133,6 +143,44 @@ def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
         u = jnp.zeros_like(t_best)
         v = u
     return hitlib.finalize(ray.direction, t_best, geom_n, u, v, mat_id, valid)
+
+
+def _intersect_bvh(group: SphereGroup, ray, t_min, t_max, active=None,
+                   need_uv: bool = True, interpret: bool = False) -> Hit:
+    """BVH traversal + fused finishing on the pallas kernel: the winner's
+    center/radius/material come back from the kernel, so no per-ray selects
+    or gathers remain. Static spheres only (scene gates packing on motion);
+    detached — the kernel's while_loop is not reverse-differentiable, and
+    geometry gradients are out of scope anyway (the dense path keeps them)."""
+    from raysnail_tpu.ops import bvh_pallas
+
+    n = jnp.shape(ray.direction.x)[0]
+    cap = jnp.full(n, BIG, jnp.float32)
+    if active is not None:
+        cap = jnp.where(active, cap, -1.0)
+    pad = (-n) % bvh_pallas.TILE_R
+    p = lambda a: jnp.pad(a, (0, pad)) if pad else a
+
+    t, cx, cy, cz, r, mat = jax.lax.stop_gradient(bvh_pallas.bvh_traverse(
+        (p(ray.origin.x), p(ray.origin.y), p(ray.origin.z)),
+        (p(ray.direction.x), p(ray.direction.y), p(ray.direction.z)), p(cap),
+        group.pk_bb, group.pk_links, group.pk_sph,
+        jnp.float32(t_min), jnp.float32(t_max), kind="sphere",
+        interpret=interpret,
+    ))
+    t, cx, cy, cz, r, mat = (a[:n] for a in (t, cx, cy, cz, r, mat))
+
+    valid = t < BIG * 0.5
+    center = Vec3(cx, cy, cz)
+    pnt = ray.origin + ray.direction * t
+    geom_n = (pnt - center) * (1.0 / jnp.where(valid, r, 1.0))
+    if need_uv:
+        u, v = sphere_uv(pnt - center)
+    else:
+        u = jnp.zeros_like(t)
+        v = u
+    return hitlib.finalize(ray.direction, t, geom_n, u, v,
+                           jnp.where(valid, mat, -1), valid)
 
 
 def sphere_uv(offset: Vec3):

@@ -42,11 +42,11 @@ class TriangleGroup(NamedTuple):
     count: jax.Array    # (M,) int32 (0 interior, LEAF_SIZE leaf)
     miss: jax.Array     # (M,) int32
     # packed layouts for the pallas packet-traversal kernel (ops/bvh_pallas):
-    # a second, fat-leaf BVH; pk_remap maps its triangle order -> leaf4 order
+    # a second, fat-leaf BVH whose blocks carry geometry + vertex normals +
+    # material id so the kernel finishes hits without any XLA gathers
     pk_bb: jax.Array | None = None     # (M2, 8) f32
-    pk_links: jax.Array | None = None  # (M2, 8) i32
-    pk_tri: jax.Array | None = None    # (B, 16, LANES) f32
-    pk_remap: jax.Array | None = None  # (B*LANES,) i32
+    pk_links: jax.Array | None = None  # (M2, 4) i32
+    pk_tri: jax.Array | None = None    # (B, NF_TRI, LANES) f32
 
 
 def _tri_hit(g: TriangleGroup, tri_idx, o: Vec3, d: Vec3, t_min, t_max):
@@ -244,18 +244,27 @@ def intersect(group: TriangleGroup, ray, t_min, t_max,
 
 
 def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
-                     interpret: bool = False, sort_rays: bool = False) -> Hit:
-    """Packet BVH traversal on the TPU (ops/bvh_pallas.py).
+                     active=None, t_cap=None, interpret: bool = False,
+                     sort_rays: bool = False) -> Hit:
+    """Packet BVH traversal on the TPU (ops/bvh_pallas.py v4): normals and
+    material ids come back from the kernel itself, so no per-ray gathers
+    remain on this path.
 
-    sort_rays groups rays into packets by direction octant before the walk
-    (stable, so already-coherent primary packets are preserved) — incoherent
-    bounce batches otherwise make every packet visit the union of the whole
-    tree."""
+    `active` is the integrator's alive mask: dead lanes neither admit BVH
+    nodes nor loosen packet termination. `t_cap` is the best hit distance
+    already found in cheaper primitive groups — traversal never admits a
+    node beyond it. sort_rays additionally groups rays into packets by
+    direction octant (stable, so already-coherent primary packets are
+    preserved)."""
     from raysnail_tpu.ops import bvh_pallas
 
     n = jnp.shape(ray.direction.x)[0]
     ox, oy, oz = ray.origin.x, ray.origin.y, ray.origin.z
     dx, dy, dz = ray.direction.x, ray.direction.y, ray.direction.z
+    cap = (jnp.full(n, BIG, jnp.float32) if t_cap is None
+           else jax.lax.stop_gradient(jnp.asarray(t_cap, jnp.float32)))
+    if active is not None:
+        cap = jnp.where(active, cap, -1.0)
 
     order = None
     if sort_rays:
@@ -266,27 +275,33 @@ def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
         )
         order = jnp.argsort(octant, stable=True)
         take = lambda a: jnp.take(a, order)
-        ox, oy, oz, dx, dy, dz = map(take, (ox, oy, oz, dx, dy, dz))
+        ox, oy, oz, dx, dy, dz, cap = map(take, (ox, oy, oz, dx, dy, dz, cap))
 
     pad = (-n) % bvh_pallas.TILE_R
 
     def p(a):
         return jnp.pad(a, (0, pad)) if pad else a
 
-    t, tri_idx, beta, gamma = bvh_pallas.bvh_traverse(
-        (p(ox), p(oy), p(oz)), (p(dx), p(dy), p(dz)),
+    t, nx, ny, nz, _, mat = bvh_pallas.bvh_traverse(
+        (p(ox), p(oy), p(oz)), (p(dx), p(dy), p(dz)), p(cap),
         group.pk_bb, group.pk_links, group.pk_tri,
-        jnp.float32(t_min), jnp.float32(t_max), interpret=interpret,
+        jnp.float32(t_min), jnp.float32(t_max), kind="tri",
+        interpret=interpret,
     )
-    t, tri_idx, beta, gamma = t[:n], tri_idx[:n], beta[:n], gamma[:n]
+    t, nx, ny, nz, mat = t[:n], nx[:n], ny[:n], nz[:n], mat[:n]
     if order is not None:
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(n, dtype=order.dtype))
-        t = jnp.take(t, inv)
-        tri_idx = jnp.take(tri_idx, inv)
-        beta = jnp.take(beta, inv)
-        gamma = jnp.take(gamma, inv)
-    # kernel indices are in fat-leaf order; map into the leaf4 order the
-    # group's normal/material arrays use
-    tri_l4 = jnp.take(group.pk_remap, tri_idx, mode="clip")
-    return _finish(group, ray, t, tri_l4, beta, gamma)
+        take = lambda a: jnp.take(a, inv)
+        t, nx, ny, nz, mat = map(take, (t, nx, ny, nz, mat))
+
+    valid = t < BIG * 0.5
+    # miss lanes carry zero normals; keep unit() NaN-free
+    normal = Vec3(nx, ny, jnp.where(valid, nz, 1.0)).unit()
+    z = jnp.zeros_like(t)
+    # with_normal semantics: normal as given, outside = true
+    return Hit(
+        t=jnp.where(valid, t, BIG), valid=valid, normal=normal, u=z, v=z,
+        mat_id=jnp.where(valid, mat, -1).astype(jnp.int32),
+        outside=jnp.ones_like(valid),
+    )

@@ -74,12 +74,11 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     kinds = static.mat_kinds
     slot, n_uniforms = _slot_layout(kinds, static.has_lights)
 
-    # pallas policy: interleaved steady-state A/B on v5e showed fused XLA
-    # beating the SPHERE kernel (6.8 vs 4.8 Mrays/s on the 478-sphere scene;
-    # identical on small scenes), so sphere "auto" keeps XLA and "force" runs
-    # the kernel (interpreted off-accelerator, for tests). The MESH packet
-    # kernel (ops/bvh_pallas.py v2) beats both XLA paths on accelerators, so
-    # mesh "auto" enables it off-CPU.
+    # pallas policy: the v4 traversal kernel (ops/bvh_pallas.py) carries both
+    # the mesh path and large static sphere groups on accelerators; the old
+    # dense-sweep sphere kernel (ops/sphere_pallas.py) stays behind "force"
+    # for tests. CPU runs everything through fused XLA (pallas only under
+    # interpret, for tests).
     on_cpu = jax.default_backend() == "cpu"
     use_pallas = cfg.use_pallas == "force"
     pallas_interpret = use_pallas and on_cpu
@@ -87,6 +86,10 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         cfg.mesh_pallas == "auto" and not on_cpu
     )
     mesh_interpret = mesh_pallas and on_cpu
+    sphere_bvh = cfg.sphere_bvh == "force" or (
+        cfg.sphere_bvh == "auto" and not on_cpu
+    )
+    sphere_bvh_interpret = sphere_bvh and on_cpu
 
     def bounce(carry, b):
         o, d, time, T, L, alive = carry
@@ -98,7 +101,10 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                                  pallas_interpret=pallas_interpret,
                                  mesh_pallas=mesh_pallas,
                                  mesh_interpret=mesh_interpret,
-                                 mesh_sort=cfg.mesh_sort)
+                                 mesh_sort=cfg.mesh_sort,
+                                 sphere_bvh=sphere_bvh,
+                                 sphere_bvh_interpret=sphere_bvh_interpret,
+                                 active=alive)
 
         # miss -> background, die (camera.rs:254)
         bg = arrays.background.color(d)

@@ -161,6 +161,7 @@ class Rect:
     b0: float
     b1: float
     material: Optional[MaterialSpec] = None
+    transform: Optional[tuple] = None  # flattened 4x4, row-major
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,42 +1,38 @@
-"""Pallas TPU kernel: packet BVH traversal, phase-split (scalar walk + fat
-vectorized leaf sweep).
+"""Pallas TPU kernel: BVH traversal with fused hit finishing (v4).
 
-XLA lowers the lockstep traversal's per-ray node fetches to serialized
-gathers (measured ~150x slower than everything else), and per-lane dynamic
-indexing isn't a VPU operation at all. The TPU-native formulation is PACKET
-traversal: each grid program owns a tile of rays and visits the UNION of BVH
-nodes any ray in the packet needs. Two earlier designs lost to the dense
-sweep and taught the layout rules this version is built on:
+One 128-ray PACKET is traversed at a time, rays on SUBLANES (128, 1):
 
-  v1 kept rays as (N, 1) columns — every slab op ran on 1 of 128 VPU lanes
-  (~1us/node). v2 vectorized the slab test and made leaves 128 triangles
-  wide, but carried per-ray best-hit state through the traversal while_loop
-  in column layout: four (1024, 1) carries = 512 vregs, spilled and copied
-  every node step (~1.5us/node measured, swamping the 25-cycle math).
+  * ray I/O is ONE packed (8, 128) row block per packet — fields on
+    sublanes: [ox oy oz dx dy dz t_cap pad] — so each packet costs a single
+    contiguous 4 KB DMA plus one in-register transpose, not 7 strided
+    column DMAs; outputs pack the same way ([t a0..a4 pad pad]);
+  * grid programs own G packets each and loop over them, amortizing
+    per-program overhead;
+  * node tests are EXACT per-ray slab tests ((128,1) vector ops against
+    scalar node bounds read from SMEM) reduced to one any() decision;
+  * every ray carries a shrinking admission cap
+    min(best_t, root_exit, t_cap): rays that already found a close hit
+    (here, or in a cheaper primitive group — t_cap), rays that exit the
+    root box early, and rays the integrator marked dead stop admitting
+    nodes, so traversal terminates without any global ordering;
+  * a hit leaf is swept inline (lax.cond): the 128-wide primitive block —
+    fields on sublanes, primitives on lanes, (B, NF, 128), 12 KB/block with
+    no lane padding — broadcasts against the ray column into a
+    (128 ray, 128 prim) solve, min-reduced over lanes (~0.45 us/leaf);
+  * the winner's shading attributes (blended vertex normal + material for
+    triangles; center/radius/material for spheres) are selected INSIDE the
+    sweep, so the caller needs no per-ray dynamic gathers at all (XLA
+    lowers those to serialized loads — measured as slow as the whole v3
+    traversal).
 
-v3 therefore splits the traversal so the serial part touches no vectors:
+History: v1/v2 carried per-ray state in (N,1) column layout (vreg spills);
+v3 split a conservative scalar interval walk from a fat vectorized sweep —
+correct but admitted far too many leaves (1.96 Mrays/s on fully coherent
+primaries) and paid an XLA gather finisher on top.
 
-  PHASE 1 — scalar walk. The packet's bounds (origin box, inv-direction
-  interval, both reduced once per packet) give a conservative interval slab
-  test per node — ~40 scalar ops, no vector carries at all. Hit leaves push
-  their block id into SMEM scratch. Conservative means it may ADMIT extra
-  leaves (different rays maximize different axes) but never prunes a leaf
-  any ray needs.
-
-  PHASE 2 — fat leaf sweep. fori_loop over the collected blocks; each block
-  holds LANES=128 triangles stored field-major-transposed (B, 128, 16) so
-  triangles land on sublanes and broadcast against the ray rows on lanes:
-  a (128, 128) Cramer solve per ray-row, min-reduced over sublanes into
-  ROW-layout (ROWS, 128) best-hit carries — 4 vregs per carry, no spills.
-
-Coherent packets (primary rays from a pixel tile) collect near the per-ray
-optimal leaf set; incoherent bounce packets degrade toward a bounded dense
-sweep (direction-octant sorting in the wrapper restores partial coherence).
-Triangle data lives in VMEM whole: 8KB per 128-triangle block, ~1M
-triangles; beyond that leaf blocks would stream with double-buffered DMA.
-
-Replaces the recursive traversal of the reference (src/hittable/collection/
-bvh.rs:173-192) and its per-ray AABB slab test (src/prelude/aabb.rs:20-38).
+Replaces the reference's recursive traversal (src/hittable/collection/
+bvh.rs:173-192), AABB slab test (src/prelude/aabb.rs:20-38), and the hit
+finishing in triangle_mesh.rs:115-131 / sphere.rs:64-71.
 """
 
 from __future__ import annotations
@@ -50,234 +46,226 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raysnail_tpu.geometry.hit import BIG
 
-LANES = 128          # triangles per leaf block == VPU lane count
-ROWS = 8             # sublane rows per ray block (Mosaic f32 minimum)
-TILE_R = ROWS * LANES  # rays per packet/program (1024)
+LANES = 128          # primitives per leaf block == VPU lane count
+PACKET = 128         # rays per packet, on sublanes
+GROUP = 8            # packets per grid program
+TILE_R = GROUP * PACKET  # rays per program (caller pads to this)
+
+# leaf-block field rows (tri kind, NF_TRI sublanes):
+#   0-2 p0.xyz | 3-5 (p0-p1).xyz | 6-8 (p0-p2).xyz | 9 valid
+#   10-12 n0 | 13-15 n1 | 16-18 n2 | 19 material id (f32) | 20-23 pad
+NF_TRI = 24
+# sphere kind: 0-2 center | 3 r^2 | 4 valid | 5 material id | 6 r | 7 pad
+NF_SPH = 8
 
 
-def _kernel(oxr, oyr, ozr, dxr, dyr, dzr, bb, links, tri, bounds,
-            t_out, tri_out, beta_out, gamma_out, blocks, *,
-            n_nodes: int, n_blocks: int, kind: str = "tri"):
+def _kernel(rays, bb, links, prim, bounds, out, *, n_nodes: int, kind: str):
     """Refs:
-      rays:  (ROWS, 128) f32 x6
-      bb:    (M, 8)  f32 [min.xyz, max.xyz, pad, pad]
-      links: (M, 8)  i32 [leaf_block, count, miss, pad...]
-      tri:   (B, 128, 16) f32 transposed leaf blocks, fields on the minor
-             axis. kind="tri": 0-2 p0.xyz, 3-5 (p0-p1).xyz, 6-8 (p0-p2).xyz,
-             9 valid. kind="sphere": 0-2 center.xyz, 3 r^2, 4 valid (the
-             beta/gamma outputs are zeros).
-      bounds: (1, 2) SMEM [t_min, t_max]
-      blocks: (n_blocks,) i32 SMEM scratch — leaf blocks this packet visits
+      rays:  (GROUP, 8, PACKET) f32 — packed ray rows per packet:
+             [ox oy oz dx dy dz t_cap pad]; t_cap <= 0 marks a dead lane
+      bb:    (M, 8) f32 SMEM [min.xyz, max.xyz, pad, pad]
+      links: (M, 4) i32 SMEM [leaf_block, count, miss, pad]
+      prim:  (B, NF, LANES) f32 VMEM leaf blocks
+      bounds: (1, 2) f32 SMEM [t_min, t_max]
+      out:   (GROUP, 8, PACKET) f32 — [t a0 a1 a2 a3 a4 pad pad]:
+        tri:    a0-2 = blended (unnormalized) normal, a3 = 0, a4 = mat id
+        sphere: a0-2 = center, a3 = radius, a4 = mat id
     """
     t_min = bounds[0, 0]
     t_max = bounds[0, 1]
-    o_x, o_y, o_z = oxr[:], oyr[:], ozr[:]
-    d_x, d_y, d_z = dxr[:], dyr[:], dzr[:]
-    eps = 1e-12
-    inv_x = 1.0 / jnp.where(jnp.abs(d_x) < eps, jnp.where(d_x < 0, -eps, eps), d_x)
-    inv_y = 1.0 / jnp.where(jnp.abs(d_y) < eps, jnp.where(d_y < 0, -eps, eps), d_y)
-    inv_z = 1.0 / jnp.where(jnp.abs(d_z) < eps, jnp.where(d_z < 0, -eps, eps), d_z)
+    sub_tri = jax.lax.broadcasted_iota(jnp.int32, (PACKET, LANES), 1)
 
-    # packet bounds: one-time vector->scalar reductions
-    ox0, ox1 = jnp.min(o_x), jnp.max(o_x)
-    oy0, oy1 = jnp.min(o_y), jnp.max(o_y)
-    oz0, oz1 = jnp.min(o_z), jnp.max(o_z)
-    ix0, ix1 = jnp.min(inv_x), jnp.max(inv_x)
-    iy0, iy1 = jnp.min(inv_y), jnp.max(inv_y)
-    iz0, iz1 = jnp.min(inv_z), jnp.max(inv_z)
+    def packet(pidx, _):
+        rows = rays[pl.ds(pidx, 1), :, :].reshape(8, PACKET)
+        cols = jnp.transpose(rows, (1, 0))        # (PACKET, 8)
+        o_x, o_y, o_z = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+        d_x, d_y, d_z = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
+        t_cap = cols[:, 6:7]
+        eps = 1e-12
+        inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < eps,
+                                        jnp.where(d < 0, -eps, eps), d)
+        inv_x, inv_y, inv_z = inv(d_x), inv(d_y), inv(d_z)
 
-    def axis_interval(plane_lo, plane_hi, o0, o1, i0, i1):
-        """Conservative [min t_enter, max t_exit] of the slab over all rays
-        with origin in [o0,o1] and inv-direction in [i0,i1]."""
-        a0, a1 = plane_lo - o1, plane_lo - o0   # interval of (lo - o)
-        b0, b1 = plane_hi - o1, plane_hi - o0
-        p = (a0 * i0, a0 * i1, a1 * i0, a1 * i1,
-             b0 * i0, b0 * i1, b1 * i0, b1 * i1)
-        lo = jnp.minimum(
-            jnp.minimum(jnp.minimum(p[0], p[1]), jnp.minimum(p[2], p[3])),
-            jnp.minimum(jnp.minimum(p[4], p[5]), jnp.minimum(p[6], p[7])))
-        hi = jnp.maximum(
-            jnp.maximum(jnp.maximum(p[0], p[1]), jnp.maximum(p[2], p[3])),
-            jnp.maximum(jnp.maximum(p[4], p[5]), jnp.maximum(p[6], p[7])))
-        return lo, hi
+        def slab(x0, y0, z0, x1, y1, z1):
+            ax0 = (x0 - o_x) * inv_x
+            ax1 = (x1 - o_x) * inv_x
+            ay0 = (y0 - o_y) * inv_y
+            ay1 = (y1 - o_y) * inv_y
+            az0 = (z0 - o_z) * inv_z
+            az1 = (z1 - o_z) * inv_z
+            near = jnp.maximum(jnp.maximum(jnp.minimum(ax0, ax1),
+                                           jnp.minimum(ay0, ay1)),
+                               jnp.minimum(az0, az1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(ax0, ax1),
+                                          jnp.maximum(ay0, ay1)),
+                              jnp.maximum(az0, az1))
+            return near, far
 
-    # ---- phase 1: scalar walk, collect leaf blocks ----
-    def walk_body(state):
-        node, nhit = state
-        nrow = bb[pl.ds(node, 1), :]          # (1, 8)
-        nx0, nx1 = axis_interval(nrow[0, 0], nrow[0, 3], ox0, ox1, ix0, ix1)
-        ny0, ny1 = axis_interval(nrow[0, 1], nrow[0, 4], oy0, oy1, iy0, iy1)
-        nz0, nz1 = axis_interval(nrow[0, 2], nrow[0, 5], oz0, oz1, iz0, iz1)
-        near_lo = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
-        far_hi = jnp.minimum(jnp.minimum(nx1, ny1), nz1)
-        any_hit = (near_lo <= far_hi) & (far_hi >= t_min) & (near_lo <= t_max)
+        # per-ray admission cap: nothing past the root-box exit, the best
+        # hit of a cheaper primitive group (t_cap), or a dead lane
+        near0, far0 = slab(bb[0, 0], bb[0, 1], bb[0, 2],
+                           bb[0, 3], bb[0, 4], bb[0, 5])
+        cap_in = jnp.minimum(t_cap, t_max)
+        can_hit = ((t_cap > 0.0) & (near0 <= far0) & (far0 >= t_min)
+                   & (near0 <= cap_in))
+        cap = jnp.where(can_hit,
+                        jnp.minimum(far0, cap_in) * 1.0001 + 1e-4, -BIG)
+        start = jnp.where(jnp.max(cap) >= t_min, 0, n_nodes).astype(jnp.int32)
 
-        lrow = links[pl.ds(node, 1), :]
-        first_blk = lrow[0, 0]
-        is_leaf = lrow[0, 1] > 0
-        miss = lrow[0, 2]
-
-        take = any_hit & is_leaf
-
-        @pl.when(take)
-        def _():
-            blocks[nhit] = first_blk
-
-        nhit = jnp.where(take, nhit + 1, nhit)
-        node = jnp.where(any_hit & (~is_leaf), node + 1, miss)
-        return node, nhit
-
-    _, nhit = jax.lax.while_loop(
-        lambda s: s[0] < n_nodes, walk_body,
-        (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
-    )
-
-    # ---- phase 2: vectorized sweep over collected leaf blocks ----
-    sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-
-    def leaf_body(i, carry):
-        bt, btri, bbeta, bgamma = carry
-        blk = blocks[i]
-        m = tri[pl.ds(blk, 1), :, :].reshape(LANES, 16)
-        if kind == "tri":
-            p0x, p0y, p0z = m[:, 0:1], m[:, 1:2], m[:, 2:3]   # (128, 1)
-            ax, ay, az = m[:, 3:4], m[:, 4:5], m[:, 5:6]
-            ddx, ddy, ddz = m[:, 6:7], m[:, 7:8], m[:, 8:9]
-            tvalid = m[:, 9:10]
-        else:
-            cx, cy, cz = m[:, 0:1], m[:, 1:2], m[:, 2:3]
-            rr2 = m[:, 3:4]
-            tvalid = m[:, 4:5]
-
-        new_rows = []
-        for r in range(ROWS):
-            oxw, oyw, ozw = o_x[r:r+1, :], o_y[r:r+1, :], o_z[r:r+1, :]
-            dxw, dyw, dzw = d_x[r:r+1, :], d_y[r:r+1, :], d_z[r:r+1, :]
-            bt_r = bt[r:r+1, :]
+        def sweep(args):
+            blk, bt, a0, a1, a2, a3, a4 = args
+            m = prim[pl.ds(blk, 1), :, :].reshape(prim.shape[1], LANES)
+            fld = lambda i: m[i:i + 1, :]                    # (1, LANES)
             if kind == "tri":
-                # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131),
-                # (128, 1) triangles x (1, 128) rays -> (128, 128)
-                j = p0x - oxw
-                k = p0y - oyw
-                l = p0z - ozw
-                eihf = ddy * dzw - dyw * ddz
-                gfdi = dxw * ddz - ddx * dzw
-                dheg = ddx * dyw - ddy * dxw
+                # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131):
+                # (128 rays, 1) x (1, 128 tris) -> (128, 128)
+                j = fld(0) - o_x
+                k = fld(1) - o_y
+                l = fld(2) - o_z
+                ax, ay, az = fld(3), fld(4), fld(5)
+                ddx, ddy, ddz = fld(6), fld(7), fld(8)
+                eihf = ddy * d_z - d_y * ddz
+                gfdi = d_x * ddz - ddx * d_z
+                dheg = ddx * d_y - ddy * d_x
                 denom = ax * eihf + ay * gfdi + az * dheg
                 denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
                 beta = (j * eihf + k * gfdi + l * dheg) / denom
                 akjb = ax * k - j * ay
                 jcal = j * az - ax * l
                 blkc = ay * l - k * az
-                gamma = (dzw * akjb + dyw * jcal + dxw * blkc) / denom
+                gamma = (d_z * akjb + d_y * jcal + d_x * blkc) / denom
                 t = -(ddz * akjb + ddy * jcal + ddx * blkc) / denom
-                ok = (
-                    (beta >= 0.0) & (beta < 1.0) & (gamma > 0.0)
-                    & (beta + gamma < 1.0) & (t >= t_min) & (t <= t_max)
-                    & (tvalid > 0.0) & (t < bt_r)
-                )
+                ok = ((beta >= 0.0) & (beta < 1.0) & (gamma > 0.0)
+                      & (beta + gamma < 1.0) & (t >= t_min) & (t <= t_max)
+                      & (fld(9) > 0.0) & (t < bt))
             else:
-                # half-b quadratic, t1-else-t2 in-range rule
-                # (sphere.rs:83-109); (128,1) spheres x (1,128) rays
-                lx = oxw - cx
-                ly = oyw - cy
-                lz = ozw - cz
-                half_b = dxw * lx + dyw * ly + dzw * lz
-                cc = lx * lx + ly * ly + lz * lz - rr2
+                # half-b quadratic, t1-else-t2 in-range rule (sphere.rs:83-109)
+                lx = o_x - fld(0)
+                ly = o_y - fld(1)
+                lz = o_z - fld(2)
+                half_b = d_x * lx + d_y * ly + d_z * lz
+                cc = lx * lx + ly * ly + lz * lz - fld(3)
                 delta = half_b * half_b - cc
                 sq = jnp.sqrt(jnp.maximum(delta, 0.0))
                 t1 = -half_b - sq
                 t2 = -half_b + sq
-                okd = (delta > 0.0) & (tvalid > 0.0)
+                okd = (delta > 0.0) & (fld(4) > 0.0)
                 in1 = okd & (t_min < t1) & (t1 < t_max)
                 in2 = okd & (t_min < t2) & (t2 < t_max)
                 t = jnp.where(in1, t1, t2)
-                ok = (in1 | in2) & (t < bt_r)
-                beta = gamma = t  # unused; selected values are ignored
+                ok = (in1 | in2) & (t < bt)
+
             tm = jnp.where(ok, t, BIG)
-            rmin = jnp.min(tm, axis=0, keepdims=True)        # (1, 128) rays
-            arg = jnp.min(jnp.where(tm == rmin, sub, LANES), axis=0,
+            rmin = jnp.min(tm, axis=1, keepdims=True)        # (PACKET, 1)
+            arg = jnp.min(jnp.where(tm == rmin, sub_tri, LANES), axis=1,
                           keepdims=True)
-            sel = sub == arg
-            take = rmin < bt_r
+            sel = sub_tri == arg
+            take = rmin < bt
+
+            def pick(row):
+                """Winner's per-primitive field (1, LANES) -> (PACKET, 1)."""
+                return jnp.sum(jnp.where(sel, row, 0.0), axis=1, keepdims=True)
+
             if kind == "tri":
-                bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=0, keepdims=True)
-                gsel = jnp.sum(jnp.where(sel, gamma, 0.0), axis=0, keepdims=True)
-                nb = jnp.where(take, bsel, bbeta[r:r+1, :])
-                ng = jnp.where(take, gsel, bgamma[r:r+1, :])
+                bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=1, keepdims=True)
+                gsel = jnp.sum(jnp.where(sel, gamma, 0.0), axis=1, keepdims=True)
+                w0 = 1.0 - bsel - gsel
+                # barycentric vertex-normal blend (triangle_mesh.rs:115-116)
+                nx = pick(fld(10)) * w0 + pick(fld(13)) * bsel + pick(fld(16)) * gsel
+                ny = pick(fld(11)) * w0 + pick(fld(14)) * bsel + pick(fld(17)) * gsel
+                nz = pick(fld(12)) * w0 + pick(fld(15)) * bsel + pick(fld(18)) * gsel
+                new_attrs = (nx, ny, nz, jnp.zeros_like(nx), pick(fld(19)))
             else:
-                nb = bbeta[r:r+1, :]
-                ng = bgamma[r:r+1, :]
-            new_rows.append((
-                jnp.where(take, rmin, bt_r),
-                jnp.where(take, blk * LANES + arg, btri[r:r+1, :]),
-                nb, ng,
-            ))
-        return (
-            jnp.concatenate([x[0] for x in new_rows], axis=0),
-            jnp.concatenate([x[1] for x in new_rows], axis=0),
-            jnp.concatenate([x[2] for x in new_rows], axis=0),
-            jnp.concatenate([x[3] for x in new_rows], axis=0),
-        )
+                new_attrs = (pick(fld(0)), pick(fld(1)), pick(fld(2)),
+                             pick(fld(6)), pick(fld(5)))
 
-    init = (
-        jnp.full((ROWS, LANES), BIG, jnp.float32),
-        jnp.zeros((ROWS, LANES), jnp.int32),
-        jnp.zeros((ROWS, LANES), jnp.float32),
-        jnp.zeros((ROWS, LANES), jnp.float32),
-    )
-    bt, btri, bbeta, bgamma = jax.lax.fori_loop(0, nhit, leaf_body, init)
-    t_out[:] = bt
-    tri_out[:] = btri
-    beta_out[:] = bbeta
-    gamma_out[:] = bgamma
+            res = [blk, jnp.where(take, rmin, bt)]
+            for old, new in zip((a0, a1, a2, a3, a4), new_attrs):
+                res.append(jnp.where(take, new, old))
+            return tuple(res)
+
+        def walk(state):
+            node, bt, a0, a1, a2, a3, a4 = state
+            near, far = slab(bb[node, 0], bb[node, 1], bb[node, 2],
+                             bb[node, 3], bb[node, 4], bb[node, 5])
+            admit = ((near <= far) & (far >= t_min)
+                     & (near <= jnp.minimum(bt, cap)))
+            any_hit = jnp.any(admit)
+
+            blk = links[node, 0]
+            is_leaf = links[node, 1] > 0
+            miss = links[node, 2]
+
+            _, bt, a0, a1, a2, a3, a4 = jax.lax.cond(
+                any_hit & is_leaf, sweep, lambda args: args,
+                (blk, bt, a0, a1, a2, a3, a4),
+            )
+            node = jnp.where(any_hit & (~is_leaf), node + 1, miss)
+            return node, bt, a0, a1, a2, a3, a4
+
+        z = jnp.zeros((PACKET, 1), jnp.float32)
+        init = (start, jnp.full((PACKET, 1), BIG, jnp.float32), z, z, z, z, z)
+        _, bt, a0, a1, a2, a3, a4 = jax.lax.while_loop(
+            lambda s: s[0] < n_nodes, walk, init)
+
+        # dead lanes are swept alongside live ones (the leaf test is
+        # packet-wide); report them as misses
+        bt = jnp.where(t_cap > 0.0, bt, BIG)
+        packed = jnp.concatenate([bt, a0, a1, a2, a3, a4, z, z], axis=1)
+        out[pl.ds(pidx, 1), :, :] = jnp.transpose(packed, (1, 0)).reshape(
+            1, 8, PACKET)
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, packet, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bvh_traverse(origin_xyz, dir_xyz, bb_packed, links_packed, tri_packed,
-                 t_min, t_max, interpret: bool = False):
-    """-> (t, tri_idx, beta, gamma), each (N,); tri_idx indexes the fat-leaf
-    (pallas) triangle order. Caller pads N to TILE_R.
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
+                 prim_packed, t_min, t_max, kind: str = "tri",
+                 interpret: bool = False):
+    """-> (t, a0, a1, a2, a3, mat_id), each (N,). Caller pads N to TILE_R.
 
-    bb_packed (M,8) f32, links_packed (M,8) i32, tri_packed (B,128,16) f32 —
-    see scene._build_triangles."""
+    t_cap: per-ray admission cap (N,) — pass the best hit distance from
+    cheaper primitive groups to prune traversal, and <= 0 (e.g. -1) for
+    lanes the integrator already killed. bb_packed (M, 8) f32, links_packed
+    (M, 4) i32, prim_packed (B, NF, 128) f32 — see scene._pack_leaf_blocks.
+    """
     ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in origin_xyz)
     dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in dir_xyz)
     n = ox.shape[0]
     assert n % TILE_R == 0, n
-    m = bb_packed.shape[0]
-    n_blocks = tri_packed.shape[0]
+    cap = jnp.asarray(t_cap, jnp.float32)
 
-    row = lambda a: a.reshape(-1, LANES)
+    m = bb_packed.shape[0]
+    pad = jnp.zeros_like(ox)
+    rays = jnp.stack([ox, oy, oz, dx, dy, dz, cap, pad])  # (8, N)
+    rays = jnp.swapaxes(rays.reshape(8, -1, PACKET), 0, 1)  # (R, 8, PACKET)
     bounds = jnp.asarray([[t_min, t_max]], jnp.float32)
 
-    row_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full2 = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    full3 = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    blk_spec = pl.BlockSpec((GROUP, 8, PACKET), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM)
+    full3 = pl.BlockSpec(prim_packed.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
 
-    t, tri_idx, beta, gamma = pl.pallas_call(
-        functools.partial(_kernel, n_nodes=m, n_blocks=n_blocks),
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_nodes=m, kind=kind),
         grid=(n // TILE_R,),
-        in_specs=[row_spec] * 6
-        + [full2(bb_packed), full2(links_packed), full3(tri_packed),
-           pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)],
-        out_specs=(row_spec, row_spec, row_spec, row_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
-        ),
+        in_specs=[blk_spec, smem(bb_packed), smem(links_packed), full3,
+                  smem(bounds)],
+        out_specs=blk_spec,
+        out_shape=jax.ShapeDtypeStruct((n // PACKET, 8, PACKET), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            # whole-mesh VMEM residency: 8KB per 128-tri block; Mosaic's
-            # default 16MB scoped limit caps at ~30k tris, v5e has 128MB
+            # leaf blocks are 12 KB (tri) / 4 KB (sphere) per 128 prims:
+            # ~8M tris fit the v5e's 128 MB VMEM before DMA streaming is
+            # needed; cap below that so Mosaic keeps headroom
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        scratch_shapes=[pltpu.SMEM((max(n_blocks, 1),), jnp.int32)],
         interpret=interpret,
-    )(
-        row(ox), row(oy), row(oz), row(dx), row(dy), row(dz),
-        bb_packed, links_packed, tri_packed, bounds,
-    )
-    flat = lambda a: a.reshape(-1)
-    return flat(t), flat(tri_idx), flat(beta), flat(gamma)
+    )(rays, bb_packed, links_packed, prim_packed, bounds)
+
+    fields = jnp.swapaxes(out, 0, 1).reshape(8, -1)  # (8, N)
+    t, a0, a1, a2, a3, a4 = (fields[i] for i in range(6))
+    mat = jnp.round(a4).astype(jnp.int32)
+    return t, a0, a1, a2, a3, mat

@@ -75,7 +75,7 @@ class RenderSession:
         self.seed = seed
         self.checkpoint_path = checkpoint_path
         self.step = renderlib.make_sample_step(scene, cfg)
-        self.px, self.py = renderlib._full_grid(cfg)
+        self.px, self.py, self._inv = renderlib._tile_grid(cfg)
         self.rays_traced = 0
         self.wall_seconds = 0.0
 
@@ -121,13 +121,15 @@ class RenderSession:
                 partial = colorlib.into_color(
                     Vec3.from_array(jnp.asarray(accum_np)), float(done), cfg.gamma
                 )
-                img = np.asarray(partial.to_array()).reshape(cfg.height, cfg.width, 3)
+                img = np.asarray(partial.to_array())[self._inv].reshape(
+                    cfg.height, cfg.width, 3)
                 if target(done, spp, img) is False:
                     log.info("render cancelled at %d/%d cells", done, spp)
                     break
 
         final = colorlib.into_color(accum, float(max(done, 1)), cfg.gamma)
-        return np.asarray(final.to_array()).reshape(cfg.height, cfg.width, 3)
+        return np.asarray(final.to_array())[self._inv].reshape(
+            cfg.height, cfg.width, 3)
 
     @property
     def mrays_per_sec(self) -> float:

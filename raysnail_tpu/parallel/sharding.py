@@ -30,7 +30,7 @@ from raysnail_tpu.diff.params import inject_params
 from raysnail_tpu.prelude import color as colorlib
 from raysnail_tpu.prelude import rng as prng
 from raysnail_tpu.prelude.vec import Vec3
-from raysnail_tpu.render import _full_grid, sample_sums
+from raysnail_tpu.render import _tile_grid, sample_sums
 
 from jax import shard_map
 
@@ -71,7 +71,7 @@ def render_sharded(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     spp = cfg.effective_samples
 
     step = make_sharded_sample_step(scene, cfg, mesh)
-    px, py = _full_grid(cfg)
+    px, py, inv = _tile_grid(cfg)
     n_pix = px.shape[0]
     pad_pix = (-n_pix) % n_tile
     if pad_pix:
@@ -85,7 +85,7 @@ def render_sharded(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     sums = step(arrays, camera, key, ids,
                 jnp.asarray(px, cfg.dtype), jnp.asarray(py, cfg.dtype))
     img = colorlib.into_color(sums, float(total_cells), cfg.gamma)
-    flat = np.asarray(img.to_array())[:n_pix]
+    flat = np.asarray(img.to_array())[:n_pix][inv]
     return flat.reshape(cfg.height, cfg.width, 3)
 
 
@@ -111,7 +111,7 @@ def make_sharded_train_step(scene: scenelib.Scene, camera: Camera,
     spp = cfg.effective_samples
     total_cells = spp + ((-spp) % n_sample)
 
-    px, py = _full_grid(cfg)
+    px, py, inv = _tile_grid(cfg)
     n_pix = px.shape[0]
     pad_pix = (-n_pix) % n_tile
     if pad_pix:
@@ -119,8 +119,11 @@ def make_sharded_train_step(scene: scenelib.Scene, camera: Camera,
         py = np.concatenate([py, np.zeros(pad_pix, py.dtype)])
     n_padded = px.shape[0]
 
+    # target pixels permuted into the same tile order as the pixel list
+    order = np.empty_like(inv)
+    order[inv] = np.arange(inv.size)
     tgt = np.zeros((n_padded, 3), np.float32)
-    tgt[:n_pix] = np.asarray(target, np.float32).reshape(-1, 3)
+    tgt[:n_pix] = np.asarray(target, np.float32).reshape(-1, 3)[order]
     weight = np.zeros(n_padded, np.float32)
     weight[:n_pix] = 1.0
 

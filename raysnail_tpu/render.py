@@ -85,6 +85,30 @@ def _full_grid(cfg: RenderConfig):
     return px.ravel().astype(np.float32), py.ravel().astype(np.float32)
 
 
+TILE_W, TILE_H = 16, 8  # 16x8 = 128 pixels = one traversal packet
+
+
+def _tile_key(px, py, width: int):
+    """Spatial sort key: 16x8 image tiles in row-major tile order, row-major
+    within the tile. 128 consecutive rays = one compact-frustum packet for
+    the pallas traversal (ops/bvh_pallas.py) instead of a 3-image-row strip."""
+    x = np.asarray(px, np.int64)
+    y = np.asarray(py, np.int64)
+    tiles_x = -(-width // TILE_W)
+    return (((y // TILE_H) * tiles_x + x // TILE_W) * TILE_H
+            + (y % TILE_H)) * TILE_W + (x % TILE_W)
+
+
+def _tile_grid(cfg: RenderConfig):
+    """-> (px, py, inv): the full pixel list in tile-major order plus the
+    inverse permutation back to row-major image order."""
+    px, py = _full_grid(cfg)
+    order = np.argsort(_tile_key(px, py, cfg.width), kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size)
+    return px[order], py[order], inv
+
+
 def _sample_chunks(cfg: RenderConfig, n_pix: int):
     """Chunk size k dividing spp so every dispatch shares one trace."""
     spp = cfg.effective_samples
@@ -114,10 +138,10 @@ def render_sums(scene, camera, cfg, seed, px, py, step=None,
 def render(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
            seed: int = 0, arrays=None) -> np.ndarray:
     """Single-pass full frame -> (H, W, 3) float32 display image."""
-    px, py = _full_grid(cfg)
+    px, py, inv = _tile_grid(cfg)
     accum = render_sums(scene, camera, cfg, seed, px, py, arrays=arrays)
     img = colorlib.into_color(accum, float(cfg.effective_samples), cfg.gamma)
-    return np.asarray(img.to_array()).reshape(cfg.height, cfg.width, 3)
+    return np.asarray(img.to_array())[inv].reshape(cfg.height, cfg.width, 3)
 
 
 # -- multi-pass adaptive oversampling ---------------------------------------
@@ -165,13 +189,14 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     spp = cfg.effective_samples
     step = make_sample_step(scene, cfg)
     px_full, py_full = _full_grid(cfg)
+    px_t, py_t, inv = _tile_grid(cfg)
     h, w = cfg.height, cfg.width
 
-    accum = render_sums(scene, camera, cfg, seed, px_full, py_full, step=step,
+    accum = render_sums(scene, camera, cfg, seed, px_t, py_t, step=step,
                         arrays=arrays)
     img = np.array(
         colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
-    ).reshape(h, w, 3)
+    )[inv].reshape(h, w, 3)
     if progress is not None and progress(spp, spp * cfg.passes, img) is False:
         return img  # cancelled (the Quit the reference never polled)
 
@@ -181,6 +206,9 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         if n_active == 0:
             break
         idx = np.flatnonzero(redo.ravel())
+        # tile-coherent dispatch order for the sparse active set too
+        idx = idx[np.argsort(_tile_key(px_full[idx], py_full[idx], w),
+                             kind="stable")]
         # pad the active set to one of a FEW fixed buckets (full, full/4,
         # full/16, ...): every distinct shape is a separate XLA program, and
         # remote compiles cost tens of seconds — wasted lanes are far cheaper

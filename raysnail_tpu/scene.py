@@ -84,11 +84,13 @@ class Scene:
 def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
               use_pallas: bool = False, pallas_interpret: bool = False,
               mesh_pallas: bool = False, mesh_interpret: bool = False,
-              mesh_sort: bool = False) -> Hit:
+              mesh_sort: bool = False, sphere_bvh: bool = False,
+              sphere_bvh_interpret: bool = False, active=None) -> Hit:
     """Closest hit across all primitive groups. `arrays` is passed separately
     so a jitted caller can thread traced arrays while `scene` supplies the
     static structure. `key` is the per-ray key batch (only media draw from
-    it)."""
+    it). `active` is the integrator's alive mask — the pallas traversal paths
+    use it to stop dead lanes from admitting BVH nodes."""
     best = miss(jnp.shape(ray.direction.x), ray.direction.x.dtype)
     if arrays.spheres is not None:
         best = combine_hits(
@@ -98,7 +100,10 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
                               chunk=scene.static.sphere_chunk,
                               need_uv=texlib.IMAGE in scene.static.tex_modes,
                               use_pallas=use_pallas,
-                              pallas_interpret=pallas_interpret),
+                              pallas_interpret=pallas_interpret,
+                              use_bvh=sphere_bvh,
+                              bvh_interpret=sphere_bvh_interpret,
+                              active=active),
         )
     if arrays.boxes is not None:
         best = combine_hits(best, boxes.intersect(arrays.boxes, ray, t_min, t_max))
@@ -110,8 +115,12 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
         # geometry gradients are out of scope: detach the mesh hit (the BVH
         # while_loop is not reverse-differentiable anyway)
         if use_pallas or mesh_pallas:
+            # `best` from the cheap dense groups above caps the traversal:
+            # a bounce ray that already hit the ground sphere at t=0.5 never
+            # admits mesh nodes beyond it
             tri_hit = triangles.intersect_pallas(
-                arrays.triangles, ray, t_min, t_max,
+                arrays.triangles, ray, t_min, t_max, active=active,
+                t_cap=best.t,
                 interpret=pallas_interpret or mesh_interpret,
                 sort_rays=mesh_sort)
         elif scene.static.tri_brute:
@@ -313,9 +322,11 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
                 box_list.append((obj.p_min, obj.p_max, mat, inv_rot, inv_off))
         elif isinstance(obj, ir.Rect):
             mat = tables.material(obj.material)
-            if m is not None:
-                raise NotImplementedError("transformed rects not supported; use a thin box")
-            rect_list.append((obj, mat))
+            if m is None:
+                rect_list.append((obj, mat, None, None))
+            else:
+                inv_rot, inv_off = tf.inverse_rows(m)
+                rect_list.append((obj, mat, inv_rot, inv_off))
         elif isinstance(obj, ir.Quadric):
             mat = tables.material(obj.material)
             coeffs = tuple(float(c) for c in obj.coeffs)
@@ -362,12 +373,28 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         speeds = np.asarray([s[2] for s in sph] + [(0, 0, 0)] * pad, np.float64)
         mats = np.asarray([s[3] for s in sph] + [-1] * pad, np.int32)
         active = np.asarray([True] * n + [False] * pad)
+        # packed BVH blocks for the pallas kernel: worth it for big static
+        # sphere sets (rtow_13_1's 478 spheres); motion blur stays on the
+        # dense path (centers move per-ray with time)
+        pk_bb = pk_links = pk_sph = None
+        if n >= 64 and not moving:
+            c = centers[:n]
+            r = radii[:n]
+            ones = np.ones(n)
+            pk_bb, pk_links, pk_sph = _pack_leaf_blocks(
+                c - r[:, None], c + r[:, None],
+                [c[:, 0], c[:, 1], c[:, 2], r * r, ones,
+                 np.asarray([s[3] for s in sph], np.float64), r],
+            )
         sphere_group = spheres.SphereGroup(
             center=Vec3.from_array(f32(centers)),
             radius=f32(radii),
             speed=Vec3.from_array(f32(speeds)),
             mat_id=jnp.asarray(mats),
             active=jnp.asarray(active),
+            pk_bb=jnp.asarray(pk_bb) if pk_bb is not None else None,
+            pk_links=jnp.asarray(pk_links) if pk_links is not None else None,
+            pk_sph=jnp.asarray(pk_sph) if pk_sph is not None else None,
         )
 
     box_group = None
@@ -391,15 +418,26 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
 
     rect_group = None
     if rect_list:
+        any_oriented = any(r[2] is not None for r in rect_list)
+        inv_rows = inv_off = None
+        if any_oriented:
+            eye = np.eye(3)
+            rots = np.asarray([r[2] if r[2] is not None else eye
+                               for r in rect_list])
+            offs = np.asarray([r[3] if r[3] is not None else np.zeros(3)
+                               for r in rect_list])
+            inv_rows = tuple(Vec3.from_array(f32(rots[:, i, :])) for i in range(3))
+            inv_off = Vec3.from_array(f32(offs))
         rect_group = rects.RectGroup(
-            k_axis=jnp.asarray([r.k_axis for r, _ in rect_list], jnp.int32),
-            k=f32([r.k for r, _ in rect_list]),
-            a0=f32([r.a0 for r, _ in rect_list]),
-            a1=f32([r.a1 for r, _ in rect_list]),
-            b0=f32([r.b0 for r, _ in rect_list]),
-            b1=f32([r.b1 for r, _ in rect_list]),
-            mat_id=jnp.asarray([m for _, m in rect_list], jnp.int32),
+            k_axis=jnp.asarray([r.k_axis for r, *_ in rect_list], jnp.int32),
+            k=f32([r.k for r, *_ in rect_list]),
+            a0=f32([r.a0 for r, *_ in rect_list]),
+            a1=f32([r.a1 for r, *_ in rect_list]),
+            b0=f32([r.b0 for r, *_ in rect_list]),
+            b1=f32([r.b1 for r, *_ in rect_list]),
+            mat_id=jnp.asarray([m for _, m, *_ in rect_list], jnp.int32),
             active=jnp.ones(len(rect_list), bool),
+            inv_rows=inv_rows, inv_off=inv_off,
         )
 
     quad_group = None
@@ -515,6 +553,42 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
                  media=tuple(media_nodes), mandelbulbs=tuple(bulbs))
 
 
+def _pack_leaf_blocks(bb_min, bb_max, fields):
+    """Fat-leaf BVH (leaf = LANES prims) + (B, NF, LANES) field blocks for
+    the pallas traversal kernel (ops/bvh_pallas.py): fields on sublanes,
+    primitives on lanes — the compact layout with no lane padding. Padding
+    rows are zeroed, so a `valid` field of ones marks real primitives.
+
+    fields: list of (P,) float arrays, one per block row; NF rounds up to a
+    multiple of 8 (f32 sublane tile).
+    -> (pk_bb (M, 8) f32, pk_links (M, 4) i32, pk_prim (B, NF, LANES) f32)
+    """
+    from raysnail_tpu.accel.bvh import build_bvh
+    from raysnail_tpu.ops.bvh_pallas import LANES
+
+    fat = build_bvh(bb_min, bb_max, leaf_size=LANES)
+    order = fat.prim_order
+    pad = order < 0
+    safe = np.where(pad, 0, order)
+
+    m = fat.bb_min.shape[0]
+    pk_bb = np.zeros((m, 8), np.float32)
+    pk_bb[:, 0:3] = fat.bb_min
+    pk_bb[:, 3:6] = fat.bb_max
+    pk_links = np.zeros((m, 4), np.int32)
+    pk_links[:, 0] = fat.first // LANES
+    pk_links[:, 1] = fat.count
+    pk_links[:, 2] = fat.miss
+
+    nf = -(-len(fields) // 8) * 8
+    n_blocks = len(order) // LANES
+    pk = np.zeros((n_blocks, nf, LANES), np.float32)
+    for i, f in enumerate(fields):
+        vals = np.where(pad, 0.0, np.asarray(f, np.float64)[safe])
+        pk[:, i, :] = vals.reshape(n_blocks, LANES)
+    return pk_bb, pk_links, pk
+
+
 def _build_triangles(mesh_list, f32):
     """Merge all meshes into one triangle pool + one BVH; reorder per-face
     data into BVH leaf order (padding rows get mat_id = -2)."""
@@ -555,41 +629,19 @@ def _build_triangles(mesh_list, f32):
 
     p0o = reorder(p0); p1o = reorder(p1); p2o = reorder(p2)
 
-    # packed layouts for the pallas packet-traversal kernel: a SECOND bvh
-    # with fat LANES-wide leaves (ops/bvh_pallas.py) whose triangle order
-    # maps back into the leaf4 order via pk_remap, so the hit finisher's
-    # normal/material gathers are shared between paths.
-    from raysnail_tpu.ops.bvh_pallas import LANES
-
-    fat = build_bvh(bb_min, bb_max, leaf_size=LANES)
-    fat_order = fat.prim_order
-    fat_pad = fat_order < 0
-    fat_safe = np.where(fat_pad, 0, fat_order)
-    # position of each original prim in the leaf4 order
-    pos_l4 = np.zeros(len(p0), np.int64)
-    nonpad = order >= 0
-    pos_l4[order[nonpad]] = np.nonzero(nonpad)[0]
-    pk_remap = np.where(fat_pad, 0, pos_l4[fat_safe]).astype(np.int32)
-
-    m = fat.bb_min.shape[0]
-    pk_bb = np.zeros((m, 8), np.float32)
-    pk_bb[:, 0:3] = fat.bb_min
-    pk_bb[:, 3:6] = fat.bb_max
-    pk_links = np.zeros((m, 8), np.int32)
-    pk_links[:, 0] = fat.first // LANES   # leaf block index
-    pk_links[:, 1] = fat.count
-    pk_links[:, 2] = fat.miss
-    fp0 = p0[fat_safe]
-    fp1 = p1[fat_safe]
-    fp2 = p2[fat_safe]
-    n_blocks = len(fat_order) // LANES
-    # transposed leaf blocks: triangles on the sublane axis, fields minor
-    pk_tri = np.zeros((n_blocks, LANES, 16), np.float32)
-    fields = np.concatenate(
-        [fp0, fp0 - fp1, fp0 - fp2,
-         (~fat_pad).astype(np.float64)[:, None]], axis=1,
-    )  # (F_fat, 10)
-    pk_tri[:, :, :10] = fields.reshape(n_blocks, LANES, 10)
+    # packed layout for the pallas traversal kernel (ops/bvh_pallas.py):
+    # geometry + vertex normals + material per block so the kernel finishes
+    # hits itself (no XLA gathers on the mesh path at all)
+    e1 = p0 - p1
+    e2 = p0 - p2
+    ones = np.ones(len(p0))
+    pk_bb, pk_links, pk_tri = _pack_leaf_blocks(
+        bb_min, bb_max,
+        [p0[:, 0], p0[:, 1], p0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
+         e2[:, 0], e2[:, 1], e2[:, 2], ones,
+         n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
+         n2[:, 0], n2[:, 1], n2[:, 2], mat.astype(np.float64)],
+    )
 
     return triangles.TriangleGroup(
         p0=Vec3.from_array(f32(p0o)),
@@ -607,7 +659,6 @@ def _build_triangles(mesh_list, f32):
         pk_bb=jnp.asarray(pk_bb),
         pk_links=jnp.asarray(pk_links),
         pk_tri=jnp.asarray(pk_tri),
-        pk_remap=jnp.asarray(pk_remap),
     )
 
 

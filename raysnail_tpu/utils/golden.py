@@ -88,6 +88,21 @@ def golden_configs():
         return b.compile(), cam, cfg, 7
 
     out["mesh"] = mesh_entry
+
+    def bulb_entry():
+        cfg = RenderConfig(width=80, height=48, samples=4, max_depth=4)
+        b = SceneBuilder()
+        b.add(ir.Mandelbulb(material=ir.BlinnPhong(0.3, 60.0,
+                                                   ir.Constant((0.8, 0.75, 0.6)))))
+        b.add(ir.Sphere((3, 5, 3), 1.0,
+                        ir.DiffuseLight(ir.Constant((1.0, 0.95, 0.9)), 6.0)),
+              light=True)
+        b.set_background((0.2, 0.25, 0.35), (0.5, 0.6, 0.8))
+        cam = build_camera(look_from=(2.2, 1.4, 2.2), look_at=(0, 0, 0), fov=45,
+                           width=cfg.width, height=cfg.height)
+        return b.compile(), cam, cfg, 7
+
+    out["mandelbulb"] = bulb_entry
     return out
 
 

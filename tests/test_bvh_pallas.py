@@ -42,6 +42,8 @@ def test_packet_traversal_matches_reference(rng_np):
         np.asarray(h_ref.normal.to_array())[both],
         np.asarray(h_pk.normal.to_array())[both], atol=1e-3
     )
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.mat_id)[both], np.asarray(h_pk.mat_id)[both])
     # octant-sorted path: permutation must round-trip exactly
     h_srt = triangles.intersect_pallas(group, ray, TMIN, TMAX,
                                        interpret=True, sort_rays=True)
@@ -49,3 +51,67 @@ def test_packet_traversal_matches_reference(rng_np):
     np.testing.assert_array_equal(np.asarray(h_pk.t), np.asarray(h_srt.t))
     np.testing.assert_array_equal(
         np.asarray(h_pk.mat_id), np.asarray(h_srt.mat_id))
+
+
+def test_active_mask_suppresses_dead_lanes(rng_np):
+    """Dead lanes must come back as misses without affecting live lanes."""
+    v, f, n = uv_sphere(8, 12, center=(0.0, 0.0, -3.0))
+    group = _group(v, f, n)
+    n_rays = 256
+    o = rng_np.uniform(-1, 1, (n_rays, 3)).astype(np.float32)
+    d = rng_np.standard_normal((n_rays, 3)).astype(np.float32)
+    d[:, 2] -= 2.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(
+        origin=Vec3.from_array(jnp.asarray(o)),
+        direction=Vec3.from_array(jnp.asarray(d)),
+        time=jnp.zeros(n_rays, jnp.float32),
+    )
+    alive = rng_np.random(n_rays) < 0.5
+    h_all = triangles.intersect_pallas(group, ray, TMIN, TMAX, interpret=True)
+    h_msk = triangles.intersect_pallas(group, ray, TMIN, TMAX,
+                                       active=jnp.asarray(alive),
+                                       interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(h_msk.valid), np.asarray(h_all.valid) & alive)
+    live_hit = np.asarray(h_all.valid) & alive
+    np.testing.assert_array_equal(
+        np.asarray(h_msk.t)[live_hit], np.asarray(h_all.t)[live_hit])
+
+
+def test_sphere_bvh_kernel_matches_dense(rng_np):
+    """kind="sphere" traversal vs the dense XLA sweep on a big sphere set."""
+    from raysnail_tpu import ir
+    from raysnail_tpu.geometry import spheres
+    from raysnail_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    centers = rng_np.uniform(-4, 4, (96, 3))
+    for i, c in enumerate(centers):
+        b.add(ir.Sphere(tuple(c), 0.25 + 0.05 * (i % 4),
+                        ir.Lambertian(ir.Constant((0.5, 0.5, 0.5)))))
+    scene = b.compile()
+    group = scene.arrays.spheres
+    assert group.pk_bb is not None  # >= 64 static spheres -> packed
+
+    n_rays = 300
+    o = rng_np.uniform(-6, 6, (n_rays, 3)).astype(np.float32)
+    d = rng_np.standard_normal((n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(
+        origin=Vec3.from_array(jnp.asarray(o)),
+        direction=Vec3.from_array(jnp.asarray(d)),
+        time=jnp.zeros(n_rays, jnp.float32),
+    )
+    h_ref = spheres.intersect(group, ray, TMIN, TMAX)
+    h_pk = spheres.intersect(group, ray, TMIN, TMAX,
+                             use_bvh=True, bvh_interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_ref.valid), np.asarray(h_pk.valid))
+    both = np.asarray(h_ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[both], np.asarray(h_pk.t)[both], rtol=5e-4)
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.mat_id)[both], np.asarray(h_pk.mat_id)[both])
+    np.testing.assert_allclose(
+        np.asarray(h_ref.normal.to_array())[both],
+        np.asarray(h_pk.normal.to_array())[both], atol=2e-3)
