@@ -85,9 +85,11 @@ def _time_render(scene, camera, cfg, passes: int = 1):
     return primary / best_dt / 1e6, compile_s, best_dt
 
 
-def _time_grad_step(small: bool):
-    """Forward+backward Mrays/s: one optax train step on the canonical scene
-    (reduced size — the backward pass roughly triples memory and FLOPs)."""
+def _time_grad_step(small: bool, canonical: bool = False):
+    """Forward+backward Mrays/s: one optax train step on the canonical scene.
+    canonical=True runs the full 800x500@64spp config — feasible on one chip
+    thanks to remat'd bounces + two-pass gradient accumulation
+    (diff/train.py); otherwise the historical 400x250@16 row."""
     import time
 
     import jax
@@ -97,8 +99,14 @@ def _time_grad_step(small: bool):
     from raysnail_tpu.diff import make_train_step
     from raysnail_tpu.sdl import build_scene
 
-    cfg = RenderConfig(width=100 if small else 400, height=62 if small else 250,
-                       samples=4 if small else 16, max_depth=8)
+    if canonical:
+        cfg = RenderConfig(width=160 if small else 800,
+                           height=100 if small else 500,
+                           samples=9 if small else 65, max_depth=8)
+    else:
+        cfg = RenderConfig(width=100 if small else 400,
+                           height=62 if small else 250,
+                           samples=4 if small else 16, max_depth=8)
     scene, camera = build_scene(os.path.join(REPO, "sdl", "example.sdl"), cfg)
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     step, opt_state, params = make_train_step(scene, camera, cfg, target)
@@ -167,6 +175,13 @@ def _configs(small: bool):
         book2.all_feature_scene(7).compile(),
         book2.book2_camera(cfgb2.width, cfgb2.height), cfgb2, 1,
     )
+    # same scene with per-bounce live-lane compaction, for the A/B the
+    # round-1 verdict asked for (SURVEY's "central kernel-design problem")
+    out["book2-wavefront"] = lambda: (
+        book2.all_feature_scene(7).compile(),
+        book2.book2_camera(cfgb2.width, cfgb2.height),
+        cfgb2.replace(wavefront_sort=True), 1,
+    )
 
     # cornell box with smoke cartons (subsurface-style media + rect lights)
     cfgc = RenderConfig(width=100 if small else 400, height=100 if small else 400,
@@ -195,6 +210,27 @@ def _configs(small: bool):
         camm = build_camera(look_from=(0, 1.5, 4), look_at=(0, 0, 0), fov=45,
                             width=cfgm.width, height=cfgm.height)
         return (b.compile(), camm, cfgm, 1)
+
+    # 200k-triangle variant of the same scene: the dragon-class workload the
+    # reference drives through its OBJ loader (preview_sdl2.rs:452-525)
+    cfgM = RenderConfig(width=160 if small else 320, height=100 if small else 200,
+                        samples=4 if small else 16, max_depth=6)
+    vM, fM, nM = torus_knot(n_seg=200 if small else 1600,
+                            n_ring=16 if small else 64)
+    bM = SceneBuilder()
+    bM.add(ir.Mesh(vertices=vM, indices=fM, normals=nM,
+                   material=ir.DiffuseMetal(400.0, ir.Constant((0.8, 0.6, 0.3)))))
+    bM.add(ir.Sphere((0, -1001.3, 0), 1000.0, ir.Lambertian(ir.Constant((0.4, 0.4, 0.45)))))
+    bM.add(ir.Sphere((4, 6, 3), 1.5, ir.DiffuseLight(ir.Constant((1.0, 0.95, 0.9)), 8.0)),
+           light=True)
+    bM.set_background((0.05, 0.05, 0.08), (0.1, 0.12, 0.2))
+
+    def mesh200k_entry():
+        camM = build_camera(look_from=(0, 1.5, 4), look_at=(0, 0, 0), fov=45,
+                            width=cfgM.width, height=cfgM.height)
+        return (bM.compile(), camM, cfgM, 1)
+
+    out["mesh-200k"] = mesh200k_entry
 
     # Mandelbulb distance field with adaptive oversampling, passes=4
     cfgb = RenderConfig(width=120 if small else 500, height=72 if small else 300,
@@ -240,6 +276,8 @@ def _run_one(name: str, small: bool) -> dict:
     """Run a single named config in THIS process and return its result dict."""
     if name == "example-fwd+bwd":
         return _time_grad_step(small)
+    if name == "example-fwd+bwd-800x500":
+        return _time_grad_step(small, canonical=True)
     configs = _configs(small)
     scene, camera, cfg, passes = configs[name]()
     mrays, compile_s, wall = _time_render(scene, camera, cfg, passes)
@@ -306,7 +344,8 @@ def main():
 
     results = {}
     if run_all:
-        names = list(_configs(small)) + ["example-fwd+bwd"]
+        names = list(_configs(small)) + ["example-fwd+bwd",
+                                         "example-fwd+bwd-800x500"]
         for name in names:
             results[name] = _run_isolated(name)
             log(f"bench[{name}]: {results[name]}")

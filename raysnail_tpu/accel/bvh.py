@@ -48,6 +48,63 @@ class _Node:
         self.left, self.right, self.prims = left, right, prims
 
 
+def relinearize_octants(arr: BvhArrays) -> tuple[np.ndarray, np.ndarray]:
+    """8 direction-octant linearizations of a skip-link BVH for front-to-back
+    traversal: for each ray-direction octant, children are visited
+    nearer-first along the split axis, so the packet's best_t tightens early
+    and far subtrees prune (the reference's recursive traversal gets this for
+    free by shrinking t_max into the second child, bvh.rs:180-188).
+
+    The binary tree is recovered from the pre-order skip links (interior i:
+    left = i+1, right = miss[i+1]); the split axis is re-derived as the
+    dominant component of the child-center difference.
+
+    -> (bb8 (8, M, 8) f32, links8 (8, M, 4) i32) where links columns are
+    [leaf_first, count, miss, pad] in each octant's node order. Leaf `first`
+    values are preserved (primitive storage is shared by all orders).
+    """
+    m = arr.count.shape[0]
+    count, miss, first = arr.count, arr.miss, arr.first
+    centers = 0.5 * (arr.bb_min + arr.bb_max)
+
+    # subtree sizes in pre-order: size[i] = miss-skip distance
+    size = np.empty(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        size[i] = 1 if count[i] > 0 else 1 + size[i + 1] + size[miss[i + 1]]
+
+    bb8 = np.zeros((8, m, 8), np.float32)
+    links8 = np.zeros((8, m, 4), np.int32)
+    for octant in range(8):
+        neg = ((octant >> 2) & 1, (octant >> 1) & 1, octant & 1)  # x, y, z
+        order = np.empty(m, np.int64)
+        new_miss = np.empty(m, np.int64)
+        pos = 0
+        stack = [(0, m)]  # (old node, miss link in NEW numbering)
+        while stack:
+            i, miss_link = stack.pop()
+            ni = pos
+            order[ni] = i
+            new_miss[ni] = miss_link
+            pos += 1
+            if count[i] == 0:
+                left, right = i + 1, int(miss[i + 1])
+                dc = centers[right] - centers[left]
+                axis = int(np.argmax(np.abs(dc)))
+                lo_first = dc[axis] >= 0.0  # left child is the nearer one
+                near, far = (left, right) if lo_first == (not neg[axis]) \
+                    else (right, left)
+                # near visited first: push far (with parent's miss), then
+                # near (missing into far's new position = ni+1+size[near])
+                stack.append((far, miss_link))
+                stack.append((near, ni + 1 + size[near]))
+        bb8[octant, :, 0:3] = arr.bb_min[order]
+        bb8[octant, :, 3:6] = arr.bb_max[order]
+        links8[octant, :, 0] = first[order]
+        links8[octant, :, 1] = count[order]
+        links8[octant, :, 2] = new_miss
+    return bb8, links8
+
+
 def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
               leaf_size: int = LEAF_SIZE, use_native: bool = True) -> BvhArrays:
     """Build from per-primitive AABBs -> linearized arrays."""

@@ -69,10 +69,16 @@ class RenderConfig:
                                  # v4 BVH traversal kernel: "auto" (on for
                                  # accelerators) | "never" | "force" (interpret
                                  # off-TPU, for tests)
+    wavefront_sort: bool = False # stable-partition live rays to the front each
+                                 # bounce (argsort + gathers vs denser packets
+                                 # — measured per scene in bench --all)
     mesh_sort: bool = False      # octant-sort rays into coherent packets before
                                  # the pallas mesh traversal (no-op on other paths).
                                  # Off: measured net loss at <=10k tris (argsort +
                                  # 10 gathers cost more than the coherence win)
+    remat_bounces: bool = True   # jax.checkpoint the bounce body: backward
+                                 # stores per-bounce carries only (forward-only
+                                 # renders are unaffected)
     rng: str = "auto"            # "auto" (= fast) | "fast" (counter-hash) | "threefry"
     # fast = murmur3-fmix32 counter hash: 4x on CPU and +62% end-to-end on
     # TPU v5e (measured after dispatch batching; an earlier 10x-slower TPU

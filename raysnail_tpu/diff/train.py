@@ -30,10 +30,11 @@ def render_image_diff(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                       params: SceneParams, key, sample_ids) -> Vec3:
     """Differentiable mean-radiance image (flat (H*W,) Vec3, linear — no
     gamma) for a chunk of stratification cells."""
-    # differentiable path stays on fused XLA: the pallas kernels don't define
-    # a VJP, and the params -> ray -> hit-distance reparam gradient should
-    # flow identically on every backend
-    cfg = cfg.replace(use_pallas="never")
+    # differentiable path keeps sphere hits on fused XLA: the pallas kernels
+    # are stop_gradient'd (their while_loops are not reverse-differentiable),
+    # and sphere hit distances must stay ATTACHED so fuzz/IOR parameters get
+    # reparameterized pathwise gradients through subsequent hit positions
+    cfg = cfg.replace(use_pallas="never", sphere_bvh="never")
     arrays = inject_params(scene.arrays, params)
     w, h = cfg.width, cfg.height
     py, px = jnp.meshgrid(jnp.arange(h, dtype=cfg.dtype),
@@ -58,21 +59,65 @@ def make_loss_fn(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
 
 
 def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
-                    target, optimizer=None):
+                    target, optimizer=None, accum_chunk: int | None = None):
     """-> (step, opt_state0, params0). step(params, opt_state, key, ids) ->
     (params, opt_state, loss). Jitted; gradient flows through the full bounce
-    loop."""
+    loop.
+
+    accum_chunk: stratification cells per VJP pass. The L2-of-mean loss is
+    not separable across sample chunks, so the step runs TWO passes with
+    exact gradients (standard gradient accumulation, adapted to MC
+    rendering): (1) a residual-free forward computes the mean image and the
+    loss; (2) per chunk, one VJP of the chunk's image SUM against the fixed
+    cotangent dL/d(mean image) / S accumulates into the gradient. Combined
+    with cfg.remat_bounces this bounds fwd+bwd memory by one chunk's
+    per-bounce carries, so the canonical 800x500@64spp config fits a chip.
+    """
     import optax
 
     if optimizer is None:
         optimizer = optax.adam(1e-2)
-    loss_fn = make_loss_fn(scene, camera, cfg, target)
     params0 = extract_params(scene.arrays)
     opt_state0 = optimizer.init(params0)
+    target_flat = Vec3.from_array(jnp.asarray(target, cfg.dtype).reshape(-1, 3))
+    n_pix = cfg.width * cfg.height
+
+    if accum_chunk is None:
+        # same budget heuristic as the forward renderer, with 4x headroom
+        # for the backward pass
+        accum_chunk = max(1, cfg.ray_batch // (4 * n_pix))
+
+    def chunk_sums(params, key, ids):
+        """SUM image (not mean) over one chunk of cells — the VJP target."""
+        img = render_image_diff(scene, camera, cfg, params, key, ids)
+        return img * float(ids.shape[0])
 
     @jax.jit
     def step(params, opt_state, key, sample_ids):
-        loss, grads = jax.value_and_grad(loss_fn)(params, key, sample_ids)
+        s = sample_ids.shape[0]
+        chunks = [sample_ids[i:i + accum_chunk]
+                  for i in range(0, s, accum_chunk)]
+        if len(chunks) == 1:
+            loss_fn = make_loss_fn(scene, camera, cfg, target)
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, sample_ids)
+        else:
+            # pass 1: mean image, no residuals
+            total = None
+            for ids in chunks:
+                cs = jax.lax.stop_gradient(chunk_sums(params, key, ids))
+                total = cs if total is None else total + cs
+            img = total * (1.0 / s)
+            d = img - target_flat
+            loss = 0.5 * jnp.mean(d.dot(d))
+            # dL/d(mean image) = d / n_pix (d.dot(d) sums channels, mean is
+            # over pixels), then 1/S maps the chunk SUM to the mean image
+            cot = d * (1.0 / (n_pix * s))
+            grads = None
+            for ids in chunks:
+                _, vjp = jax.vjp(lambda p: chunk_sums(p, key, ids), params)
+                (g,) = vjp(cot)
+                grads = g if grads is None else jax.tree_util.tree_map(
+                    jnp.add, grads, g)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -92,9 +92,22 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     sphere_bvh_interpret = sphere_bvh and on_cpu
 
     def bounce(carry, b):
-        o, d, time, T, L, alive = carry
+        if cfg.wavefront_sort:
+            # wavefront compaction: stable-partition live lanes to the front
+            # so traversal packets (128 consecutive lanes) are dense in live
+            # rays. Costs one argsort + ~16 gathers per bounce — kept behind
+            # a flag so the tradeoff is measurable per scene (bench --all
+            # reports book2 both ways).
+            o, d, time, T, L, alive, kv, rid = carry
+            order = jnp.argsort(~alive, stable=True)
+            take = lambda a: jnp.take(a, order, axis=0)
+            o, d, T, L = (v.map(take) for v in (o, d, T, L))
+            time, alive, kv, rid = (take(a) for a in (time, alive, kv, rid))
+        else:
+            o, d, time, T, L, alive = carry
+            kv = keys
         r = Ray(origin=o, direction=d, time=time)
-        kb = prng.fold_all(keys, b)
+        kb = prng.fold_all(kv, b)
 
         hit = scenelib.intersect(scene, arrays, r, cfg.t_min, cfg.t_max, kb,
                                  use_pallas=use_pallas,
@@ -191,6 +204,8 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
         o = Vec3.where(alive, new_o, o)
         d = Vec3.where(alive, new_d, d)
+        if cfg.wavefront_sort:
+            return (o, d, time, T, L, alive, kv, rid), None
         return (o, d, time, T, L, alive), None
 
     init = (
@@ -199,8 +214,23 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         Vec3.zeros(shape, ray.direction.x.dtype),
         jnp.ones(shape, bool),
     )
-    (o, d, time, T, L, alive), _ = jax.lax.scan(
-        bounce, init, jnp.arange(cfg.max_depth)
-    )
+    if cfg.wavefront_sort:
+        init = init + (keys, jnp.arange(shape[0], dtype=jnp.int32))
+    body = bounce
+    if cfg.remat_bounces:
+        # reverse-mode stores only the per-bounce carries (o,d,T,L,alive ~13
+        # floats/ray) and recomputes the bounce body — an order of magnitude
+        # less residual memory, which is what bounds fwd+bwd batch sizes
+        body = jax.checkpoint(bounce)
+    out_carry, _ = jax.lax.scan(body, init, jnp.arange(cfg.max_depth))
+    L = out_carry[4]
+    if cfg.wavefront_sort:
+        # scatter the accumulated radiance back into original ray order
+        rid = out_carry[7]
+        L = Vec3(
+            jnp.zeros(shape, L.x.dtype).at[rid].set(L.x),
+            jnp.zeros(shape, L.y.dtype).at[rid].set(L.y),
+            jnp.zeros(shape, L.z.dtype).at[rid].set(L.z),
+        )
     # rays still alive after the budget contribute nothing (camera.rs:161-163)
     return L

@@ -59,12 +59,23 @@ NF_TRI = 24
 NF_SPH = 8
 
 
-def _kernel(rays, bb, links, prim, bounds, out, *, n_nodes: int, kind: str):
+import os
+
+# admitted leaf blocks buffered per walk segment (env knob for perf probes)
+CHUNK = int(os.environ.get("RAYSNAIL_BVH_CHUNK", "8"))
+_NOATTR = os.environ.get("RAYSNAIL_BVH_NOATTR") == "1"  # perf probe only
+
+
+def _kernel(rays, bb, links, prim, bounds, out, buf, *, n_nodes: int,
+            n_orders: int, kind: str):
     """Refs:
       rays:  (GROUP, 8, PACKET) f32 — packed ray rows per packet:
              [ox oy oz dx dy dz t_cap pad]; t_cap <= 0 marks a dead lane
-      bb:    (M, 8) f32 SMEM [min.xyz, max.xyz, pad, pad]
-      links: (M, 4) i32 SMEM [leaf_block, count, miss, pad]
+      bb:    (K*M*8,) f32 SMEM [min.xyz, max.xyz, pad, pad] per node — K = 8
+             direction-octant front-to-back node orders (or 1); FLAT 1-D
+             because SMEM pads a trailing dim to 128 elements (a (M, 8)
+             layout measured 16x the bytes and blew the 1 MiB SMEM)
+      links: (K*M*4,) i32 SMEM [leaf_block, count, miss, pad] per node
       prim:  (B, NF, LANES) f32 VMEM leaf blocks
       bounds: (1, 2) f32 SMEM [t_min, t_max]
       out:   (GROUP, 8, PACKET) f32 — [t a0 a1 a2 a3 a4 pad pad]:
@@ -81,6 +92,16 @@ def _kernel(rays, bb, links, prim, bounds, out, *, n_nodes: int, kind: str):
         o_x, o_y, o_z = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
         d_x, d_y, d_z = cols[:, 3:4], cols[:, 4:5], cols[:, 5:6]
         t_cap = cols[:, 6:7]
+
+        # pick the front-to-back node order by the packet's dominant octant
+        if n_orders == 8:
+            oct_ = ((jnp.sum(d_x) < 0).astype(jnp.int32) * 4
+                    + (jnp.sum(d_y) < 0).astype(jnp.int32) * 2
+                    + (jnp.sum(d_z) < 0).astype(jnp.int32))
+        else:
+            oct_ = jnp.asarray(0, jnp.int32)
+        bb_base = oct_ * (n_nodes * 8)
+        lk_base = oct_ * (n_nodes * 4)
         eps = 1e-12
         inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < eps,
                                         jnp.where(d < 0, -eps, eps), d)
@@ -103,8 +124,7 @@ def _kernel(rays, bb, links, prim, bounds, out, *, n_nodes: int, kind: str):
 
         # per-ray admission cap: nothing past the root-box exit, the best
         # hit of a cheaper primitive group (t_cap), or a dead lane
-        near0, far0 = slab(bb[0, 0], bb[0, 1], bb[0, 2],
-                           bb[0, 3], bb[0, 4], bb[0, 5])
+        near0, far0 = slab(bb[0], bb[1], bb[2], bb[3], bb[4], bb[5])
         cap_in = jnp.minimum(t_cap, t_max)
         can_hit = ((t_cap > 0.0) & (near0 <= far0) & (far0 >= t_min)
                    & (near0 <= cap_in))
@@ -112,8 +132,8 @@ def _kernel(rays, bb, links, prim, bounds, out, *, n_nodes: int, kind: str):
                         jnp.minimum(far0, cap_in) * 1.0001 + 1e-4, -BIG)
         start = jnp.where(jnp.max(cap) >= t_min, 0, n_nodes).astype(jnp.int32)
 
-        def sweep(args):
-            blk, bt, a0, a1, a2, a3, a4 = args
+        def sweep(blk, args):
+            bt, a0, a1, a2, a3, a4 = args
             m = prim[pl.ds(blk, 1), :, :].reshape(prim.shape[1], LANES)
             fld = lambda i: m[i:i + 1, :]                    # (1, LANES)
             if kind == "tri":
@@ -157,10 +177,14 @@ def _kernel(rays, bb, links, prim, bounds, out, *, n_nodes: int, kind: str):
 
             tm = jnp.where(ok, t, BIG)
             rmin = jnp.min(tm, axis=1, keepdims=True)        # (PACKET, 1)
+            take = rmin < bt
+            if _NOATTR:  # perf probe: traversal cost without attr selection
+                # a0 counts sweeps per packet for admission diagnostics
+                z5 = (a0 + 1.0, a1, a2, a3, a4)
+                return (jnp.where(take, rmin, bt),) + z5
             arg = jnp.min(jnp.where(tm == rmin, sub_tri, LANES), axis=1,
                           keepdims=True)
             sel = sub_tri == arg
-            take = rmin < bt
 
             def pick(row):
                 """Winner's per-primitive field (1, LANES) -> (PACKET, 1)."""
@@ -179,34 +203,54 @@ def _kernel(rays, bb, links, prim, bounds, out, *, n_nodes: int, kind: str):
                 new_attrs = (pick(fld(0)), pick(fld(1)), pick(fld(2)),
                              pick(fld(6)), pick(fld(5)))
 
-            res = [blk, jnp.where(take, rmin, bt)]
+            res = [jnp.where(take, rmin, bt)]
             for old, new in zip((a0, a1, a2, a3, a4), new_attrs):
                 res.append(jnp.where(take, new, old))
             return tuple(res)
 
-        def walk(state):
-            node, bt, a0, a1, a2, a3, a4 = state
-            near, far = slab(bb[node, 0], bb[node, 1], bb[node, 2],
-                             bb[node, 3], bb[node, 4], bb[node, 5])
-            admit = ((near <= far) & (far >= t_min)
-                     & (near <= jnp.minimum(bt, cap)))
+        # The walk alternates two segments: (a) a node walk that pushes
+        # admitted leaf blocks into SMEM (predicated store — much cheaper
+        # than a per-leaf lax.cond around the vector sweep, which measured
+        # ~0.85 us of pure branch/phi overhead per taken sweep), and (b) an
+        # unconditional fori sweep of the buffered blocks. best_t tightens
+        # between chunks, so subsequent walk segments keep pruning.
+
+        def walk_seg(state):
+            node, nbuf, btc = state
+            nb = bb_base + node * 8
+            nl = lk_base + node * 4
+            near, far = slab(bb[nb], bb[nb + 1], bb[nb + 2],
+                             bb[nb + 3], bb[nb + 4], bb[nb + 5])
+            admit = (near <= far) & (far >= t_min) & (near <= btc)
             any_hit = jnp.any(admit)
+            is_leaf = links[nl + 1] > 0
+            take = any_hit & is_leaf
+            # unconditional store + predicated increment: a per-node branch
+            # (pl.when) here measured ~7 us/packet of pipeline stalls; a
+            # not-taken store is simply overwritten by the next node's
+            buf[nbuf] = links[nl]
+            nbuf = jnp.where(take, nbuf + 1, nbuf)
+            node = jnp.where(any_hit & (~is_leaf), node + 1, links[nl + 2])
+            return node, nbuf, btc
 
-            blk = links[node, 0]
-            is_leaf = links[node, 1] > 0
-            miss = links[node, 2]
+        def outer(state):
+            node, bt, a0, a1, a2, a3, a4 = state
+            btc = jnp.minimum(bt, cap)
+            node, nbuf, _ = jax.lax.while_loop(
+                lambda s: (s[0] < n_nodes) & (s[1] < CHUNK), walk_seg,
+                (node, jnp.asarray(0, jnp.int32), btc))
 
-            _, bt, a0, a1, a2, a3, a4 = jax.lax.cond(
-                any_hit & is_leaf, sweep, lambda args: args,
-                (blk, bt, a0, a1, a2, a3, a4),
-            )
-            node = jnp.where(any_hit & (~is_leaf), node + 1, miss)
+            def sweep_j(j, args):
+                return sweep(buf[j], args)
+
+            bt, a0, a1, a2, a3, a4 = jax.lax.fori_loop(
+                0, nbuf, sweep_j, (bt, a0, a1, a2, a3, a4))
             return node, bt, a0, a1, a2, a3, a4
 
         z = jnp.zeros((PACKET, 1), jnp.float32)
         init = (start, jnp.full((PACKET, 1), BIG, jnp.float32), z, z, z, z, z)
         _, bt, a0, a1, a2, a3, a4 = jax.lax.while_loop(
-            lambda s: s[0] < n_nodes, walk, init)
+            lambda s: s[0] < n_nodes, outer, init)
 
         # dead lanes are swept alongside live ones (the leaf test is
         # packet-wide); report them as misses
@@ -227,8 +271,9 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
 
     t_cap: per-ray admission cap (N,) — pass the best hit distance from
     cheaper primitive groups to prune traversal, and <= 0 (e.g. -1) for
-    lanes the integrator already killed. bb_packed (M, 8) f32, links_packed
-    (M, 4) i32, prim_packed (B, NF, 128) f32 — see scene._pack_leaf_blocks.
+    lanes the integrator already killed. bb_packed (K, M, 8) f32,
+    links_packed (K, M, 4) i32 (K = 8 octant orders or 1), prim_packed
+    (B, NF, 128) f32 — see scene._pack_leaf_blocks.
     """
     ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in origin_xyz)
     dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in dir_xyz)
@@ -236,7 +281,9 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
     assert n % TILE_R == 0, n
     cap = jnp.asarray(t_cap, jnp.float32)
 
-    m = bb_packed.shape[0]
+    n_orders, m = bb_packed.shape[0], bb_packed.shape[1]
+    bb_flat = bb_packed.reshape(-1)
+    links_flat = links_packed.reshape(-1)
     pad = jnp.zeros_like(ox)
     rays = jnp.stack([ox, oy, oz, dx, dy, dz, cap, pad])  # (8, N)
     rays = jnp.swapaxes(rays.reshape(8, -1, PACKET), 0, 1)  # (R, 8, PACKET)
@@ -244,15 +291,17 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
 
     blk_spec = pl.BlockSpec((GROUP, 8, PACKET), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    smem = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
-                                    memory_space=pltpu.SMEM)
+    def smem(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.SMEM)
     full3 = pl.BlockSpec(prim_packed.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_nodes=m, kind=kind),
+        functools.partial(_kernel, n_nodes=m, n_orders=n_orders, kind=kind),
         grid=(n // TILE_R,),
-        in_specs=[blk_spec, smem(bb_packed), smem(links_packed), full3,
+        in_specs=[blk_spec, smem(bb_flat), smem(links_flat), full3,
                   smem(bounds)],
         out_specs=blk_spec,
         out_shape=jax.ShapeDtypeStruct((n // PACKET, 8, PACKET), jnp.float32),
@@ -262,8 +311,9 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
             # needed; cap below that so Mosaic keeps headroom
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        scratch_shapes=[pltpu.SMEM((CHUNK,), jnp.int32)],
         interpret=interpret,
-    )(rays, bb_packed, links_packed, prim_packed, bounds)
+    )(rays, bb_flat, links_flat, prim_packed, bounds)
 
     fields = jnp.swapaxes(out, 0, 1).reshape(8, -1)  # (8, N)
     t, a0, a1, a2, a3, a4 = (fields[i] for i in range(6))

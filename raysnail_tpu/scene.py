@@ -561,9 +561,12 @@ def _pack_leaf_blocks(bb_min, bb_max, fields):
 
     fields: list of (P,) float arrays, one per block row; NF rounds up to a
     multiple of 8 (f32 sublane tile).
-    -> (pk_bb (M, 8) f32, pk_links (M, 4) i32, pk_prim (B, NF, LANES) f32)
+    -> (pk_bb (K, M, 8) f32, pk_links (K, M, 4) i32,
+        pk_prim (B, NF, LANES) f32)
+    where K = 8 direction-octant node orders (front-to-back traversal) for
+    trees that fit SMEM 8x, else K = 1 (build order).
     """
-    from raysnail_tpu.accel.bvh import build_bvh
+    from raysnail_tpu.accel.bvh import build_bvh, relinearize_octants
     from raysnail_tpu.ops.bvh_pallas import LANES
 
     fat = build_bvh(bb_min, bb_max, leaf_size=LANES)
@@ -572,13 +575,18 @@ def _pack_leaf_blocks(bb_min, bb_max, fields):
     safe = np.where(pad, 0, order)
 
     m = fat.bb_min.shape[0]
-    pk_bb = np.zeros((m, 8), np.float32)
-    pk_bb[:, 0:3] = fat.bb_min
-    pk_bb[:, 3:6] = fat.bb_max
-    pk_links = np.zeros((m, 4), np.int32)
-    pk_links[:, 0] = fat.first // LANES
-    pk_links[:, 1] = fat.count
-    pk_links[:, 2] = fat.miss
+    if m <= 1536:  # 8 orders cost 8*48B/node of the 1 MiB SMEM (~590 KB cap)
+        bb8, links8 = relinearize_octants(fat)
+        links8[:, :, 0] //= LANES
+        pk_bb, pk_links = bb8, links8
+    else:
+        pk_bb = np.zeros((1, m, 8), np.float32)
+        pk_bb[0, :, 0:3] = fat.bb_min
+        pk_bb[0, :, 3:6] = fat.bb_max
+        pk_links = np.zeros((1, m, 4), np.int32)
+        pk_links[0, :, 0] = fat.first // LANES
+        pk_links[0, :, 1] = fat.count
+        pk_links[0, :, 2] = fat.miss
 
     nf = -(-len(fields) // 8) * 8
     n_blocks = len(order) // LANES

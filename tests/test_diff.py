@@ -147,3 +147,27 @@ def test_mesh_scene_grads_are_finite():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert np.abs(np.asarray(g.tex_color1.x)).max() > 1e-7
+
+
+def test_accumulated_grads_match_one_shot():
+    """The two-pass gradient-accumulation step must produce the SAME loss
+    and parameter updates as the one-shot value_and_grad step."""
+    import optax
+
+    scene, cam = scene_and_cam()
+    target = np.zeros((CFG.height, CFG.width, 3), np.float32) + 0.25
+    opt = optax.sgd(1e-2)
+    ids = jnp.arange(CFG.effective_samples, dtype=jnp.int32)
+    key = prng.key(3)
+
+    step1, os1, p1 = make_train_step(scene, cam, CFG, target, optimizer=opt,
+                                     accum_chunk=CFG.effective_samples)
+    stepN, osN, pN = make_train_step(scene, cam, CFG, target, optimizer=opt,
+                                     accum_chunk=4)
+    p1b, _, l1 = step1(p1, os1, key, ids)
+    pNb, _, lN = stepN(pN, osN, key, ids)
+    np.testing.assert_allclose(float(l1), float(lN), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1b),
+                    jax.tree_util.tree_leaves(pNb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
