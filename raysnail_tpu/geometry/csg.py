@@ -105,6 +105,91 @@ class BoxLeaf(NamedTuple):
         return Vec3.full((0.0, 1.0, 0.0), shape, p.dtype)
 
 
+class RectLeaf(NamedTuple):
+    """Axis-aligned (optionally oriented) rect as a CSG child. Matches the
+    reference's AARect under CSG exactly: the hit carries t2 = f64::MAX
+    (rect.rs:118), contains() is always false (rect.rs:122-125), and
+    normal() is the fixed plane-axis unit vector (rect.rs:84-88)."""
+    k_axis: int        # static 0=YZ 1=XZ 2=XY
+    k: jax.Array       # scalars
+    a0: jax.Array
+    a1: jax.Array
+    b0: jax.Array
+    b1: jax.Array
+    inv_rows: tuple | None
+    inv_off: Vec3 | None
+    mat_id: int
+
+    def hit(self, ray, t_min, t_max) -> CsgHit:
+        o, d = ray.origin, ray.direction
+        if self.inv_rows is not None:
+            from raysnail_tpu.geometry.boxes import _apply_rows
+            o = _apply_rows(self.inv_rows, self.inv_off, o, translate=True)
+            d = _apply_rows(self.inv_rows, self.inv_off, d, translate=False)
+        ax = self.k_axis
+        comps = lambda v: (v.x, v.y, v.z)
+        ok_, oa, ob = (comps(o)[ax], comps(o)[(1, 0, 0)[ax]], comps(o)[(2, 2, 1)[ax]])
+        dk_, da, db = (comps(d)[ax], comps(d)[(1, 0, 0)[ax]], comps(d)[(2, 2, 1)[ax]])
+        dk_ = jnp.where(jnp.abs(dk_) < 1e-12,
+                        jnp.where(dk_ < 0, -1e-12, 1e-12), dk_)
+        t1 = (self.k - ok_) / dk_
+        pa = oa + t1 * da
+        pb = ob + t1 * db
+        valid = ((t_min < t1) & (t1 < t_max)
+                 & (pa >= self.a0) & (pa <= self.a1)
+                 & (pb >= self.b0) & (pb <= self.b1))
+        n = self.normal_at(ray.origin)  # fixed axis normal
+        outside = d.dot(n) < 0.0
+        n = Vec3.where(outside, n, -n)
+        u = (pa - self.a0) / (self.a1 - self.a0)
+        v = (pb - self.b0) / (self.b1 - self.b0)
+        mid = jnp.full(jnp.shape(t1), self.mat_id, jnp.int32)
+        return CsgHit(jnp.where(valid, t1, BIG),
+                      jnp.full(jnp.shape(t1), BIG), valid, n, u, v, mid, outside)
+
+    def contains(self, p: Vec3):
+        return jnp.zeros(jnp.shape(p.x), bool)  # rect.rs:122-125
+
+    def normal_at(self, p: Vec3) -> Vec3:
+        shape = jnp.shape(p.x)
+        n = Vec3.full(((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                       (0.0, 0.0, 1.0))[self.k_axis], shape, p.dtype)
+        if self.inv_rows is not None:
+            from raysnail_tpu.geometry.boxes import _apply_rows_t
+            n = _apply_rows_t(self.inv_rows, n).unit()
+        return n
+
+
+class MeshLeaf(NamedTuple):
+    """Triangle mesh as a CSG child (the reference composes any
+    Arc<dyn Hittable>, intersection.rs:19-23). Triangle hits carry
+    t2 = f64::MAX (triangle_mesh.rs:119-126) and contains() is always false
+    (triangle_mesh.rs:133-136), so inside CSG a mesh behaves as a thin
+    shell — replicated exactly. normal_at (only reached as the minus child
+    of a Difference) is where the reference PANICS (hit.rs:82-87
+    unimplemented!); we return +y like Box::normal instead of crashing."""
+    group: object      # triangles.TriangleGroup
+    mat_id: int
+    brute: bool        # static: dense sweep vs BVH walk
+
+    def hit(self, ray, t_min, t_max) -> CsgHit:
+        from raysnail_tpu.geometry import triangles
+        if self.brute:
+            h = triangles.intersect_brute(self.group, ray, t_min, t_max)
+        else:
+            h = triangles.intersect(self.group, ray, t_min, t_max)
+        return CsgHit(t1=h.t, t2=jnp.full(jnp.shape(h.t), BIG), valid=h.valid,
+                      normal=h.normal, u=h.u, v=h.v, mat_id=h.mat_id,
+                      outside=h.outside)
+
+    def contains(self, p: Vec3):
+        return jnp.zeros(jnp.shape(p.x), bool)  # triangle_mesh.rs:133-136
+
+    def normal_at(self, p: Vec3) -> Vec3:
+        shape = jnp.shape(p.x)
+        return Vec3.full((0.0, 1.0, 0.0), shape, p.dtype)
+
+
 class QuadricLeaf(NamedTuple):
     coeffs: quadrics.Coeffs
     mat_id: int
@@ -233,9 +318,26 @@ def intersect_trees(trees, ray, t_min, t_max) -> Hit:
     from raysnail_tpu.geometry.hit import combine_hits, miss
 
     best = miss(jnp.shape(ray.direction.x), ray.direction.dtype)
+
+    def _has_static_leaf(tree):
+        """Rect/Mesh leaves carry static Python fields (k_axis, brute) that
+        must not be stacked into traced arrays — such trees trace solo."""
+        if isinstance(tree, (RectLeaf, MeshLeaf)):
+            return True
+        if isinstance(tree, (IntersectionNode,)):
+            return _has_static_leaf(tree.left) or _has_static_leaf(tree.right)
+        if isinstance(tree, DifferenceNode):
+            return _has_static_leaf(tree.plus) or _has_static_leaf(tree.minus)
+        return False
+
     groups: dict = {}
+    solo = 0
     for tree in trees:
-        groups.setdefault(jax.tree_util.tree_structure(tree), []).append(tree)
+        if _has_static_leaf(tree):
+            groups[("solo", solo)] = [tree]
+            solo += 1
+        else:
+            groups.setdefault(jax.tree_util.tree_structure(tree), []).append(tree)
 
     for group in groups.values():
         if len(group) == 1:

@@ -183,7 +183,9 @@ class Mesh:
 @dataclasses.dataclass(frozen=True)
 class Csg:
     """CSG node; op in {'intersection', 'difference'}; children are
-    Sphere/Box/Quadric/Csg (the types the reference SDL allows)."""
+    Sphere/Box/Quadric/Rect/Mesh/Csg — the reference composes any
+    Arc<dyn Hittable> (intersection.rs:19-23); rect/mesh children follow
+    its contains()=false, t2=MAX semantics."""
     op: str
     left: object
     right: object

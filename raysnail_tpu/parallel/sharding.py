@@ -57,6 +57,29 @@ def make_sharded_sample_step(scene: scenelib.Scene, cfg: RenderConfig, mesh: Mes
     return step
 
 
+def make_padded_sharded_step(scene: scenelib.Scene, cfg: RenderConfig,
+                             mesh: Mesh):
+    """A sharded sample step that accepts ANY pixel-list length by padding
+    px/py up to a multiple of the tile axis and slicing the result back —
+    drop-in for render.make_sample_step, so the adaptive multi-pass driver
+    (render.render_passes) runs its sparse redo sets on the device mesh.
+    Callers must pass k_multiple = mesh.shape["sample"] to render_passes so
+    cell batches shard evenly."""
+    inner = make_sharded_sample_step(scene, cfg, mesh)
+    n_tile = mesh.shape["tile"]
+
+    def step(arrays, camera, key, sample_ids, px, py):
+        n = px.shape[0]
+        pad = (-n) % n_tile
+        if pad:
+            px = jnp.concatenate([px, jnp.zeros(pad, px.dtype)])
+            py = jnp.concatenate([py, jnp.zeros(pad, py.dtype)])
+        sums = inner(arrays, camera, key, sample_ids, px, py)
+        return sums.map(lambda a: a[:n]) if pad else sums
+
+    return step
+
+
 def render_sharded(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                    mesh: Mesh, seed: int = 0, arrays=None):
     """Full-frame sharded render -> (H, W, 3) float32 display image.

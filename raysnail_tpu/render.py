@@ -109,24 +109,32 @@ def _tile_grid(cfg: RenderConfig):
     return px[order], py[order], inv
 
 
-def _sample_chunks(cfg: RenderConfig, n_pix: int):
-    """Chunk size k dividing spp so every dispatch shares one trace."""
+def _sample_chunks(cfg: RenderConfig, n_pix: int, multiple_of: int = 1):
+    """Chunk size k dividing spp so every dispatch shares one trace.
+    `multiple_of` constrains k to multiples of the mesh's sample axis so a
+    sharded step always gets evenly-shardable cell batches."""
     spp = cfg.effective_samples
     k_max = max(1, min(spp, cfg.ray_batch // max(n_pix, 1)))
-    return max(d for d in range(1, k_max + 1) if spp % d == 0)
+    good = [d for d in range(1, k_max + 1)
+            if spp % d == 0 and d % multiple_of == 0]
+    return max(good) if good else multiple_of
 
 
 def render_sums(scene, camera, cfg, seed, px, py, step=None,
-                arrays=None, key=None) -> Vec3:
+                arrays=None, key=None, k_multiple: int = 1) -> Vec3:
     """Radiance SUMS over all effective samples for the given pixel list."""
     spp = cfg.effective_samples
+    if k_multiple > 1:
+        assert spp % k_multiple == 0, (
+            f"effective spp {spp} must divide by the sample-axis size "
+            f"{k_multiple} for a sharded step")
     step = step or make_sample_step(scene, cfg)
     arrays = arrays if arrays is not None else scene.arrays
     key = key if key is not None else prng.key(seed)
     px = jnp.asarray(px, cfg.dtype)
     py = jnp.asarray(py, cfg.dtype)
 
-    k = _sample_chunks(cfg, px.shape[0])
+    k = _sample_chunks(cfg, px.shape[0], k_multiple)
     accum = None
     for start in range(0, spp, k):
         ids = jnp.arange(start, start + k, dtype=jnp.int32)
@@ -182,18 +190,23 @@ def calc_noise(img: np.ndarray, compat_bug: bool = False) -> np.ndarray:
 
 def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                   seed: int = 0, arrays=None,
-                  progress: Optional[Callable] = None) -> np.ndarray:
+                  progress: Optional[Callable] = None,
+                  step=None, k_multiple: int = 1) -> np.ndarray:
     """Multi-pass render with adaptive oversampling (raysnail.rs:379-427):
     pass k re-renders flagged pixels and running-averages display colors
-    (old*k + new)/(k+1)."""
+    (old*k + new)/(k+1).
+
+    `step` may be a sharded sample step (parallel.make_padded_sharded_step)
+    with `k_multiple` = the mesh's sample-axis size, so adaptive passes run
+    on the device mesh too."""
     spp = cfg.effective_samples
-    step = make_sample_step(scene, cfg)
+    step = step or make_sample_step(scene, cfg)
     px_full, py_full = _full_grid(cfg)
     px_t, py_t, inv = _tile_grid(cfg)
     h, w = cfg.height, cfg.width
 
     accum = render_sums(scene, camera, cfg, seed, px_t, py_t, step=step,
-                        arrays=arrays)
+                        arrays=arrays, k_multiple=k_multiple)
     img = np.array(
         colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
     )[inv].reshape(h, w, 3)
@@ -221,7 +234,7 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         py = py_full[idx_p]
 
         sums = render_sums(scene, camera, cfg, seed + k, px, py, step=step,
-                           arrays=arrays)
+                           arrays=arrays, k_multiple=k_multiple)
         new_img = np.asarray(
             colorlib.into_color(sums, float(spp), cfg.gamma).to_array()
         )[:n_active]

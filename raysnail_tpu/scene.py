@@ -137,7 +137,9 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
         )
     for bulb in scene.mandelbulbs:
         # same while_loop caveat as meshes: detached
-        best = combine_hits(best, jax.lax.stop_gradient(bulb.hit(ray, t_min, t_max)))
+        best = combine_hits(
+            best,
+            jax.lax.stop_gradient(bulb.hit(ray, t_min, t_max, active=active)))
     return best
 
 
@@ -160,11 +162,32 @@ class SceneBuilder:
     def add(self, obj, light: bool = False):
         self.objects.append(obj)
         if light:
+            # The light spec must describe the object's WORLD-space placement:
+            # bake a translate+uniform-scale transform into the spec (matching
+            # the geometry lowering below) and reject anything the sampler
+            # cannot represent, so NEE never targets a pre-transform shape.
+            m = ir.unmat4(obj.transform) if getattr(obj, "transform", None) else None
+            ts = tf.is_translate_uniform_scale(m) if m is not None else (1.0, np.zeros(3))
             if isinstance(obj, ir.Sphere):
-                self.light_specs.append(("sphere", obj.center, obj.radius))
+                if ts is None:
+                    raise ValueError(
+                        "light spheres only support translate/uniform-scale "
+                        "transforms (anything else lowers to a quadric, which "
+                        "the light sampler cannot target)")
+                s, off = ts
+                c = tuple(np.asarray(obj.center, np.float64) * s + off)
+                self.light_specs.append(("sphere", c, obj.radius * abs(s)))
             elif isinstance(obj, ir.Rect) and obj.k_axis == 1:
+                if ts is None:
+                    raise ValueError(
+                        "light rects only support translate/uniform-scale "
+                        "transforms (a rotated rect light would need an "
+                        "oriented-rect sampler; see rect.rs:141-153)")
+                s, off = ts
+                a0, a1 = sorted((obj.a0 * s + off[0], obj.a1 * s + off[0]))
+                b0, b1 = sorted((obj.b0 * s + off[2], obj.b1 * s + off[2]))
                 self.light_specs.append(
-                    ("rect_xz", obj.k, obj.a0, obj.a1, obj.b0, obj.b1)
+                    ("rect_xz", obj.k * s + off[1], a0, a1, b0, b1)
                 )
             else:
                 raise ValueError("lights must be spheres or XZ rects (rect.rs:141-153)")
@@ -189,6 +212,7 @@ class _Tables:
         self.mat_rows: list = []
         self.images: list = []
         self.perlins: list = []
+        self.deep_checker = False  # some checker has non-constant children
         # row 0: the world default white Lambertian (world.rs:25-60)
         self.material(ir.Lambertian(ir.Constant((1.0, 1.0, 1.0))))
 
@@ -197,14 +221,25 @@ class _Tables:
         if spec in self.tex_index:
             return self.tex_index[spec]
         row = dict(ttype=texlib.CONSTANT, color1=(0.0, 0.0, 0.0), color2=(0.0, 0.0, 0.0),
-                   scale=1.0, image_id=-1, depth=0, perlin_id=-1)
+                   scale=1.0, image_id=-1, depth=0, perlin_id=-1,
+                   child1=-1, child2=-1)
         if isinstance(spec, ir.Constant):
             row["color1"] = spec.rgb
         elif isinstance(spec, ir.Checker):
+            # generic over child textures like the reference's Checker<T1,T2>
+            # (checker.rs:8-28); children register as their own table rows and
+            # the cell sign picks between them at eval. One nesting level.
             odd, even = ir.as_texture(spec.odd), ir.as_texture(spec.even)
-            if not (isinstance(odd, ir.Constant) and isinstance(even, ir.Constant)):
-                raise NotImplementedError("checker children must be constant colors")
-            row.update(ttype=texlib.CHECKER, color1=odd.rgb, color2=even.rgb, scale=spec.scale)
+            if isinstance(odd, ir.Checker) or isinstance(even, ir.Checker):
+                raise NotImplementedError(
+                    "checker-of-checker nesting is unsupported (one level)")
+            row.update(ttype=texlib.CHECKER, scale=spec.scale,
+                       child1=self.texture(odd), child2=self.texture(even))
+            if isinstance(odd, ir.Constant) and isinstance(even, ir.Constant):
+                # fast path: constant cells read color1/color2 directly
+                row.update(color1=odd.rgb, color2=even.rgb)
+            else:
+                self.deep_checker = True
         elif isinstance(spec, ir.ImageTex):
             from PIL import Image
             img = np.asarray(Image.open(spec.path).convert("RGB"), np.float32) / 255.0
@@ -483,6 +518,8 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
     # tables -> arrays
     tr = tables.tex_rows
     tex_modes = frozenset(r["ttype"] for r in tr)
+    if tables.deep_checker:
+        tex_modes = tex_modes | {texlib.CHECKER_DEEP}
     atlas = atlas_wh = None
     if tables.images:
         mh = max(i.shape[0] for i in tables.images)
@@ -509,6 +546,8 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         scale=f32([r["scale"] for r in tr]),
         image_id=jnp.asarray([r["image_id"] for r in tr], jnp.int32),
         depth=jnp.asarray([r["depth"] for r in tr], jnp.int32),
+        child1=jnp.asarray([r["child1"] for r in tr], jnp.int32),
+        child2=jnp.asarray([r["child2"] for r in tr], jnp.int32),
         atlas=atlas, atlas_wh=atlas_wh,
         perlin_id=jnp.asarray([r["perlin_id"] for r in tr], jnp.int32),
         perlin_float=perlin_float, perlin_vec=perlin_vec,
@@ -726,6 +765,29 @@ def _leaf_of(obj, m, inherit_mat, tables, dtype, register_material=True):
         if m is not None:
             coeffs = tf.transform_quadric(coeffs, m)
         return csg.QuadricLeaf(coeffs=quadrics.Coeffs(*(scal(c) for c in coeffs)), mat_id=mat)
+    if isinstance(obj, ir.Rect):
+        inv_rows = inv_off = None
+        if m is not None:
+            rot, off = tf.inverse_rows(m)
+            inv_rows = tuple(Vec3.full(tuple(rot[i]), (), dtype) for i in range(3))
+            inv_off = Vec3.full(tuple(off), (), dtype)
+        return csg.RectLeaf(
+            k_axis=int(obj.k_axis), k=scal(obj.k),
+            a0=scal(obj.a0), a1=scal(obj.a1), b0=scal(obj.b0), b1=scal(obj.b1),
+            inv_rows=inv_rows, inv_off=inv_off, mat_id=mat,
+        )
+    if isinstance(obj, ir.Mesh):
+        if m is not None:
+            v = np.asarray(obj.vertices, np.float64)
+            vh = np.concatenate([v, np.ones((len(v), 1))], 1)
+            obj = dataclasses.replace(obj, vertices=tuple(map(tuple, (vh @ m.T)[:, :3])),
+                                      normals=None if obj.normals is None else tuple(
+                                          map(tuple, np.asarray(obj.normals, np.float64)
+                                              @ np.linalg.inv(m[:3, :3]))))
+        f32 = lambda x: jnp.asarray(np.asarray(x, np.float64), dtype)
+        group = _build_triangles([(obj, mat)], f32)
+        brute = int(group.mat_id.shape[0]) <= 32768
+        return csg.MeshLeaf(group=group, mat_id=mat, brute=brute)
     if isinstance(obj, ir.Csg):
         return _lower_csg(obj, m, tables, dtype)
     raise TypeError(f"unsupported CSG child {obj!r}")

@@ -26,6 +26,11 @@ IMAGE = 2
 PERLIN = 3
 PERLIN_TURB = 4
 PERLIN_MARBLE = 5
+# pseudo-mode (never a row ttype): present in the scene's static mode set
+# when some checker has non-constant children, enabling the second-level
+# child-texture evaluation (the reference's Checker<T1, T2> is generic over
+# Texture, checker.rs:8-28)
+CHECKER_DEEP = 6
 
 PERLIN_POINTS = 256
 
@@ -37,6 +42,8 @@ class TextureTable(NamedTuple):
     scale: jax.Array      # (T,) checker/perlin scale
     image_id: jax.Array   # (T,) int32 index into atlas, -1 if none
     depth: jax.Array      # (T,) int32 turbulence depth
+    child1: jax.Array | None = None  # (T,) int32 checker odd-child row, -1
+    child2: jax.Array | None = None  # (T,) int32 checker even-child row, -1
     # image atlas (None when the scene has no image textures)
     atlas: jax.Array | None = None       # (I, maxH, maxW, 3) float32
     atlas_wh: jax.Array | None = None    # (I, 2) int32 (width, height)
@@ -49,10 +56,10 @@ class TextureTable(NamedTuple):
     perm: jax.Array | None = None           # (P, 3, 256) int32 perm_x/y/z
 
 
-def _checker(table, tid, p: Vec3) -> Vec3:
+def _checker_sign(table, tid, p: Vec3):
+    """True on odd cells: sin(s x) sin(s y) sin(s z) < 0 (checker.rs:22-29)."""
     s = _take(table.scale, tid)
-    value = jnp.sin(s * p.x) * jnp.sin(s * p.y) * jnp.sin(s * p.z)
-    return Vec3.where(value < 0.0, _gather_color(table.color1, tid), _gather_color(table.color2, tid))
+    return jnp.sin(s * p.x) * jnp.sin(s * p.y) * jnp.sin(s * p.z) < 0.0
 
 
 def _take(a, tid):
@@ -150,17 +157,11 @@ def _turbulence(table, pid, p: Vec3, max_depth: int, depth):
     return jnp.abs(acc)
 
 
-def evaluate(table: TextureTable, tex_id, u, v, p: Vec3, modes: frozenset) -> Vec3:
-    """Color of texture `tex_id` (per-ray int32) at (u, v, p).
-
-    `modes` is the static set of texture types present in the scene; absent
-    modes are not computed at all."""
-    tid = jnp.maximum(tex_id, 0)
+def _eval_base(table: TextureTable, tid, u, v, p: Vec3, modes: frozenset) -> Vec3:
+    """Evaluate every non-checker mode for row `tid` and select by ttype."""
     out = _gather_color(table.color1, tid)  # CONSTANT is the base case
     tt = _take(table.ttype, tid)
 
-    if CHECKER in modes:
-        out = Vec3.where(tt == CHECKER, _checker(table, tid, p), out)
     if IMAGE in modes:
         out = Vec3.where(tt == IMAGE, _image(table, tid, u, v), out)
     if modes & {PERLIN, PERLIN_TURB, PERLIN_MARBLE}:
@@ -178,4 +179,29 @@ def evaluate(table: TextureTable, tex_id, u, v, p: Vec3, modes: frozenset) -> Ve
             n = _turbulence(table, pid, p, max_depth, table.depth[tid])
             m = (jnp.sin(table.scale[tid] * p.z + 10.0 * n) + 1.0) * 0.5
             out = Vec3.where(tt == PERLIN_MARBLE, Vec3(m, m, m), out)
+    return out
+
+
+def evaluate(table: TextureTable, tex_id, u, v, p: Vec3, modes: frozenset) -> Vec3:
+    """Color of texture `tex_id` (per-ray int32) at (u, v, p).
+
+    `modes` is the static set of texture types present in the scene; absent
+    modes are not computed at all. CHECKER_DEEP in `modes` means some checker
+    has non-constant children: the cell sign then picks a CHILD texture row,
+    evaluated through the same non-checker table pass (one level of nesting —
+    a checker-of-checkers raises at scene compile)."""
+    tid = jnp.maximum(tex_id, 0)
+    out = _eval_base(table, tid, u, v, p, modes)
+
+    if CHECKER in modes:
+        tt = _take(table.ttype, tid)
+        odd = _checker_sign(table, tid, p)
+        if CHECKER_DEEP in modes:
+            c1 = jnp.maximum(_take(table.child1, tid), 0)
+            c2 = jnp.maximum(_take(table.child2, tid), 0)
+            cval = _eval_base(table, jnp.where(odd, c1, c2), u, v, p, modes)
+        else:
+            cval = Vec3.where(odd, _gather_color(table.color1, tid),
+                              _gather_color(table.color2, tid))
+        out = Vec3.where(tt == CHECKER, cval, out)
     return out

@@ -92,3 +92,20 @@ def test_graft_entry():
     leaves = jax.tree_util.tree_leaves(out)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     ge.dryrun_multichip(8)
+
+
+def test_adaptive_passes_shard_invariant():
+    """A 2-pass adaptive render through the padded sharded step must equal
+    the single-device multi-pass render exactly (same pixels, cells, keys)."""
+    from raysnail_tpu.parallel import make_padded_sharded_step
+    from raysnail_tpu.render import render_passes
+
+    scene, cam = scene_and_cam()
+    cfg = CFG.replace(passes=2, noise_threshold=1e-4)
+    img_single = render_passes(scene, cam, cfg, seed=1)
+
+    mesh = make_mesh(devices=jax.devices())
+    step = make_padded_sharded_step(scene, cfg, mesh)
+    img_sharded = render_passes(scene, cam, cfg, seed=1, step=step,
+                                k_multiple=mesh.shape["sample"])
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-5)

@@ -61,3 +61,44 @@ def test_marble_bounded():
     v = np.asarray(c.x)
     assert (v >= 0).all() and (v <= 1.0).all()
     assert v.std() > 0.05  # actually varies
+
+
+def test_checker_texture_children():
+    """Checker is generic over child textures (checker.rs:8-28): a checker of
+    (marble, constant-blue) must return the marble value on odd cells and
+    blue on even cells, matching standalone evaluations of the children."""
+    marble = ir.Noise(kind="marble", scale=4.0, vector=True)
+    blue = ir.Constant((0.1, 0.2, 0.9))
+    t, modes, scene = table_for(ir.Checker(marble, blue, 2.0), marble)
+    assert texlib.CHECKER_DEEP in modes
+    tex_id = scene.arrays.materials.tex_id[scene.arrays.spheres.mat_id[0]]
+    marble_id = scene.arrays.materials.tex_id[scene.arrays.spheres.mat_id[1]]
+
+    n = 512
+    rng = np.random.default_rng(3)
+    p = Vec3.from_array(jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32))
+    tid = jnp.full(n, tex_id, jnp.int32)
+    u = jnp.zeros(n)
+    got = np.asarray(texlib.evaluate(t, tid, u, u, p, modes).to_array())
+
+    mref = np.asarray(texlib.evaluate(
+        t, jnp.full(n, marble_id, jnp.int32), u, u, p, modes).to_array())
+    odd = np.asarray(jnp.sin(2.0 * p.x) * jnp.sin(2.0 * p.y) * jnp.sin(2.0 * p.z)) < 0
+    want = np.where(odd[:, None], mref, np.asarray([0.1, 0.2, 0.9], np.float32))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_checker_constant_children_unchanged():
+    """Constant-children checkers still work when another checker is deep."""
+    t, modes, scene = table_for(
+        ir.Checker(ir.Constant((1, 0, 0)), ir.Constant((0, 1, 0)), 2.0),
+        ir.Checker(ir.Noise(kind="normal", scale=1.0, vector=True),
+                   ir.Constant((0, 0, 1)), 2.0),
+    )
+    assert texlib.CHECKER_DEEP in modes
+    tex_id = scene.arrays.materials.tex_id[scene.arrays.spheres.mat_id[0]]
+    n = 8
+    tid = jnp.full(n, tex_id, jnp.int32)
+    p = Vec3.full((0.5, 0.5, 0.5), (n,))
+    c = texlib.evaluate(t, tid, jnp.zeros(n), jnp.zeros(n), p, modes)
+    np.testing.assert_allclose(np.asarray(c.to_array())[0], [0, 1, 0], atol=1e-6)
