@@ -249,6 +249,44 @@ def _configs(small: bool):
     return out
 
 
+def _kernel_smoke() -> dict:
+    """Mosaic-lowering canary: tiny renders FORCING the pallas traversal
+    kernels (mesh packet traversal + sphere BVH), run in the default
+    non---all bench so a TPU kernel compile/lowering regression is caught
+    every round even when the full sweep isn't run (VERDICT r2 item 8)."""
+    import numpy as np
+
+    from raysnail_tpu import ir
+    from raysnail_tpu.camera import build_camera
+    from raysnail_tpu.config import RenderConfig
+    from raysnail_tpu.render import render
+    from raysnail_tpu.scene import SceneBuilder
+    from raysnail_tpu.scenes import book1
+    from raysnail_tpu.scenes.meshes import uv_sphere
+
+    out = {}
+    v, f, n = uv_sphere(8, 12, center=(0.0, 0.0, -3.0))
+    b = SceneBuilder()
+    b.add(ir.Mesh(vertices=v, indices=f, normals=n,
+                  material=ir.Lambertian(ir.Constant((0.6, 0.4, 0.3)))))
+    b.add(ir.Sphere((3, 4, 0), 0.8,
+                    ir.DiffuseLight(ir.Constant((1.0, 1.0, 1.0)), 5.0)),
+          light=True)
+    cfg = RenderConfig(width=64, height=40, samples=4, max_depth=2,
+                       mesh_pallas="force")
+    cam = build_camera(look_from=(0, 0, 1), look_at=(0, 0, -3), fov=50,
+                       width=cfg.width, height=cfg.height)
+    img = render(b.compile(), cam, cfg, seed=3)
+    out["mesh_kernel"] = bool(np.isfinite(img).all() and img.std() > 1e-4)
+
+    cfg2 = RenderConfig(width=64, height=40, samples=4, max_depth=2,
+                        sphere_bvh="force")
+    img2 = render(book1.balls_scene(7).compile(),
+                  book1.balls_camera(cfg2.width, cfg2.height), cfg2, seed=3)
+    out["sphere_bvh_kernel"] = bool(np.isfinite(img2).all() and img2.std() > 1e-4)
+    return out
+
+
 def _wait_for_device(max_tries: int = 4):
     """The axon tunnel occasionally wedges EXECUTION (compiles still work)
     after a client is killed mid-run, and recovers after its ~10-min grant
@@ -355,6 +393,11 @@ def main():
     else:
         results["example.sdl"] = _run_one("example.sdl", small)
         log(f"bench[example.sdl]: {results['example.sdl']}")
+        try:
+            smoke = _kernel_smoke()
+        except Exception as e:  # noqa: BLE001
+            smoke = {"error": f"{type(e).__name__}: {e}"}
+        log(f"bench[kernel-smoke]: {smoke}")
 
     mrays = results["example.sdl"].get("mrays_primary", 0.0)
     print(json.dumps({

@@ -8,9 +8,19 @@ reference seeds a Rust StdRng (ChaCha12) whose stream we can't reproduce
 bit-for-bit in numpy, so the same seed gives a *statistically identical*
 scene, not the identical ball placement (SURVEY.md sect.7 "stochastic
 equivalence").
+
+Parity bridge (docs/REFERENCE_PARITY.md §2): the layout is an explicit,
+dumpable/loadable artifact. `generate_layout(seed)` -> list of ball specs;
+`dump_layout(path)` writes them as JSON (committed at
+tests/assets/book1_layout_seed7.json); `balls_scene(layout_file=...)`
+rebuilds the scene from such a file — so a dump of the reference's actual
+seed-7 draw (a small Rust-side print patch) makes both renderers draw the
+SAME scene and turns image comparison into an executable gate.
 """
 
 from __future__ import annotations
+
+import json
 
 import numpy as np
 
@@ -19,10 +29,13 @@ from raysnail_tpu.camera import build_camera
 from raysnail_tpu.scene import SceneBuilder
 
 
-def add_small_balls(builder: SceneBuilder, rng: np.random.Generator,
-                    bounce_height: float = 0.9, need_speed: bool = False):
-    """scene.rs:23-76. `rng.normal()` in the reference is uniform [0,1)."""
-    r = 0.2
+def generate_layout(seed: int = 7, bounce_height: float = 0.9,
+                    need_speed: bool = False) -> list:
+    """The small-ball draw of scene.rs:23-76 as plain data. Each entry:
+    {a, b, center, kind, color?, fuzz?, ior?, speed}. `rng.normal()` in the
+    reference is uniform [0,1)."""
+    rng = np.random.default_rng(seed)
+    out = []
     for a in range(-11, 11):
         for b in range(-11, 11):
             center = np.array([
@@ -34,21 +47,57 @@ def add_small_balls(builder: SceneBuilder, rng: np.random.Generator,
             avoid = np.array([center[0], 0.2, 0.0])
             in_band = (0.0 <= ax < 0.9) or (3.1 <= ax < 4.9)
             if (not in_band) or np.linalg.norm(center - avoid) >= 0.9:
+                entry = {"a": a, "b": b, "center": [round(float(c), 9) for c in center]}
                 mat_u = rng.random()
                 if mat_u < 0.8:
-                    color = (rng.random(), rng.random(), rng.random())
-                    material = ir.Lambertian(ir.Constant(color))
+                    entry["kind"] = "lambertian"
+                    entry["color"] = [round(float(rng.random()), 9) for _ in range(3)]
                 elif mat_u < 0.95:
-                    color = tuple(0.5 + 0.5 * rng.random() for _ in range(3))
-                    fuzz = rng.random() * 0.5
+                    entry["color"] = [round(0.5 + 0.5 * float(rng.random()), 9)
+                                      for _ in range(3)]
+                    fuzz = float(rng.random()) * 0.5
                     if fuzz < 0.1:
-                        material = ir.Metal(ir.Constant(color))
+                        entry["kind"] = "metal"
                     else:
-                        material = ir.DiffuseMetal(fuzz * 1000.0, ir.Constant(color))
+                        entry["kind"] = "diffuse_metal"
+                        entry["fuzz"] = round(fuzz, 9)
                 else:
-                    material = ir.Dielectric((1.0, 1.0, 1.0), 1.5, schlick=True)
-                speed = (0.0, rng.random() * 0.5, 0.0) if need_speed else (0.0, 0.0, 0.0)
-                builder.add(ir.Sphere(tuple(center), r, material, speed=speed))
+                    entry["kind"] = "dielectric"
+                    entry["ior"] = 1.5
+                entry["speed"] = ([0.0, round(float(rng.random()) * 0.5, 9), 0.0]
+                                  if need_speed else [0.0, 0.0, 0.0])
+                out.append(entry)
+    return out
+
+
+def _material_of(entry: dict):
+    kind = entry["kind"]
+    if kind == "lambertian":
+        return ir.Lambertian(ir.Constant(tuple(entry["color"])))
+    if kind == "metal":
+        return ir.Metal(ir.Constant(tuple(entry["color"])))
+    if kind == "diffuse_metal":
+        # fuzz in (0.1, 0.5) -> exponent fuzz*1000 (examples/common/scene.rs:61)
+        return ir.DiffuseMetal(entry["fuzz"] * 1000.0,
+                               ir.Constant(tuple(entry["color"])))
+    if kind == "dielectric":
+        return ir.Dielectric((1.0, 1.0, 1.0), entry.get("ior", 1.5), schlick=True)
+    raise ValueError(f"unknown ball kind {kind!r}")
+
+
+def add_small_balls(builder: SceneBuilder, layout: list, radius: float = 0.2):
+    for entry in layout:
+        builder.add(ir.Sphere(tuple(entry["center"]), radius,
+                              _material_of(entry),
+                              speed=tuple(entry.get("speed", (0, 0, 0)))))
+
+
+def dump_layout(path: str, seed: int = 7, **kw) -> list:
+    layout = generate_layout(seed, **kw)
+    with open(path, "w") as f:
+        json.dump({"seed": seed, "generator": "numpy-default_rng",
+                   "balls": layout}, f, indent=1)
+    return layout
 
 
 def add_big_balls(builder: SceneBuilder):
@@ -59,8 +108,9 @@ def add_big_balls(builder: SceneBuilder):
 
 
 def balls_scene(seed: int = 7, need_speed: bool = False, checker: bool = True,
-                with_light: bool = True) -> SceneBuilder:
-    """scene.rs:162-191 (+ rtow_13_1.rs light and sky)."""
+                with_light: bool = True, layout_file: str | None = None) -> SceneBuilder:
+    """scene.rs:162-191 (+ rtow_13_1.rs light and sky). `layout_file` loads a
+    dumped ball layout (ours or the reference's) instead of drawing one."""
     builder = SceneBuilder()
     if checker:
         ground = ir.Lambertian(ir.Checker(ir.Constant((0.3, 0.3, 0.3)),
@@ -69,8 +119,12 @@ def balls_scene(seed: int = 7, need_speed: bool = False, checker: bool = True,
         ground = ir.Lambertian(ir.Constant((0.5, 0.5, 0.5)))
     builder.add(ir.Sphere((0.0, -1000.0, 0.0), 1000.0, ground))
 
-    rng = np.random.default_rng(seed)
-    add_small_balls(builder, rng, 0.9, need_speed)
+    if layout_file is not None:
+        with open(layout_file) as f:
+            layout = json.load(f)["balls"]
+    else:
+        layout = generate_layout(seed, need_speed=need_speed)
+    add_small_balls(builder, layout)
     add_big_balls(builder)
 
     if with_light:
@@ -92,3 +146,14 @@ def balls_camera(width: int, height: int, need_shutter: bool = False):
         shutter_speed=1.0 if need_shutter else 0.0,
         width=width, height=height,
     )
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(__file__), "..", "..", "tests", "assets",
+        "book1_layout_seed7.json")
+    balls = dump_layout(os.path.abspath(path))
+    print(f"wrote {len(balls)} balls to {os.path.abspath(path)}")

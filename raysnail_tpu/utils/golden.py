@@ -103,6 +103,18 @@ def golden_configs():
         return b.compile(), cam, cfg, 7
 
     out["mandelbulb"] = bulb_entry
+
+    def book1_spherebvh_entry():
+        # the SAME scene as "book1" but forced through the pallas sphere-BVH
+        # traversal kernel (interpret mode on CPU), so the kernel path has a
+        # radiance-level anchor too — a Mosaic/logic regression that changes
+        # its output shows up here, not just in a driver bench
+        cfg = RenderConfig(width=64, height=36, samples=4, max_depth=4,
+                           sphere_bvh="force")
+        return (book1.balls_scene(7).compile(),
+                book1.balls_camera(cfg.width, cfg.height), cfg, 7)
+
+    out["book1-spherebvh"] = book1_spherebvh_entry
     return out
 
 
