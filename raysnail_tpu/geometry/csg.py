@@ -345,9 +345,16 @@ def intersect_trees(trees, ray, t_min, t_max) -> Hit:
             continue
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *group)
-        hits = jax.lax.map(lambda tr: tr.hit(ray, t_min, t_max).to_hit(),
-                           stacked)
-        for i in range(len(group)):
-            best = combine_hits(
-                best, jax.tree_util.tree_map(lambda a: a[i], hits))
+        # vmap, NOT lax.map: one traced program per structure AND vectorized
+        # execution — lax.map lowers to a sequential scan, which measured a
+        # 2.5x end-to-end LOSS on quadric.sdl (round-2 bench, 45.8 -> 18.0
+        # Mrays/s); the (K, N) batched form restores dense-sweep throughput
+        hits = jax.vmap(lambda tr: tr.hit(ray, t_min, t_max).to_hit())(stacked)
+        # reduce over the K axis: winner = min t among valid
+        t = jnp.where(hits.valid, hits.t, BIG)
+        idx = jnp.argmin(t, axis=0)                    # (N,)
+        take = lambda a: jnp.take_along_axis(a, idx[None], axis=0)[0]
+        best = combine_hits(best, jax.tree_util.tree_map(
+            lambda a: a.map(take) if isinstance(a, Vec3) else take(a),
+            hits, is_leaf=lambda x: isinstance(x, Vec3)))
     return best
