@@ -144,7 +144,16 @@ def distance_est_trig(p: Vec3, iterations: int = DE_ITERATIONS):
     return de, ~escaped
 
 
-BLOCK = 1024  # rays per march block (lane compaction granularity)
+# Rays per march block (lane-compaction granularity). 1024 lanes = ONE
+# 8x128 vreg: every op in the march's long dependency chain is then
+# latency-bound, and the per-block lax.scan serializes those chains —
+# measured an 11x END-TO-END LOSS on the mandelbulb bench vs round 1's
+# whole-batch march (0.09 vs 1.06 Mrays/s, BENCH_DETAILS r3 sweep of r2
+# code). 32 vregs per op keeps the VPU pipeline full while still letting
+# all-miss/all-dead blocks skip; env knob for perf probes.
+import os as _os
+
+BLOCK = int(_os.environ.get("RAYSNAIL_BULB_BLOCK", str(32 * 1024)))
 
 
 def _march_block(o: Vec3, d: Vec3, t0, t_exit, done0):
