@@ -106,8 +106,11 @@ def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
         t_best = jnp.min(t, axis=1)
     else:
         n_chunks = s // chunk
+        # strip the packed-BVH side tables before chunking: they are not
+        # per-sphere rows (pk_sph is (B, 8, LANES)) and pair_t never reads them
         chunked = jax.tree_util.tree_map(
-            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), group
+            lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]),
+            group._replace(pk_bb=None, pk_links=None, pk_sph=None),
         )
 
         def body(carry, g):

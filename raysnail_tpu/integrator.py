@@ -41,6 +41,12 @@ from raysnail_tpu.prelude import rng as prng
 from raysnail_tpu.prelude.sampling import PI
 from raysnail_tpu.prelude.vec import Vec3
 
+# Measured crossover for routing static sphere groups through the pallas
+# traversal kernel instead of the dense sweep (scripts/ab_spherebvh_scale.py,
+# 1x v5e): dense wins 4.9x at 478 spheres; provisional threshold pending the
+# large-field sweep. "force" ignores this (tests).
+SPHERE_BVH_AUTO_MIN = 4096
+
 def _slot_layout(kinds: frozenset, has_lights: bool):
     """Per-bounce uniform slots, allocated only for the material/light kinds
     the scene actually contains — RNG is a first-order cost, so a pure
@@ -86,8 +92,17 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         cfg.mesh_pallas == "auto" and not on_cpu
     )
     mesh_interpret = mesh_pallas and on_cpu
+    # sphere_bvh "auto" gate is COUNT-aware: at 478 spheres (rtow_13_1,
+    # 400x225@16spp depth 8, v5e) the traversal kernel measured 1.81 Mrays/s
+    # vs 8.86 for the dense (rays x spheres) sweep — the pairwise sweep is
+    # embarrassingly vectorizable and wins until the O(S) work dwarfs the
+    # kernel's scalar walk overhead (see scripts/ab_spherebvh_scale.py).
+    n_spheres = (
+        int(arrays.spheres.radius.shape[0]) if arrays.spheres is not None else 0
+    )
     sphere_bvh = cfg.sphere_bvh == "force" or (
         cfg.sphere_bvh == "auto" and not on_cpu
+        and n_spheres >= SPHERE_BVH_AUTO_MIN
     )
     sphere_bvh_interpret = sphere_bvh and on_cpu
 

@@ -76,6 +76,28 @@ class TestSpheres:
         np.testing.assert_allclose(np.asarray(h_direct.t), np.asarray(h_chunked.t), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(h_direct.mat_id), np.asarray(h_chunked.mat_id))
 
+    def test_chunked_ignores_packed_bvh_tables(self):
+        # regression: groups >512 spheres carry pk_* side tables (built by
+        # scene compile for the traversal kernel); the chunked dense sweep
+        # must not try to reshape them per-sphere
+        rng = np.random.default_rng(1)
+        centers = rng.uniform(-10, 10, (64, 3))
+        radii = rng.uniform(0.5, 2.0, 64)
+        g = sphere_group(centers, radii)
+        g = g._replace(
+            pk_bb=jnp.zeros((7, 8), jnp.float32),
+            pk_links=jnp.zeros((7, 4), jnp.int32),
+            pk_sph=jnp.zeros((3, 8, 8), jnp.float32),
+        )
+        o = rng.uniform(-20, 20, (9, 3))
+        d = rng.standard_normal((9, 3))
+        ray = make_ray(o, d)
+        h_plain = spheres.intersect(
+            g._replace(pk_bb=None, pk_links=None, pk_sph=None),
+            ray, TMIN, TMAX, chunk=16)
+        h = spheres.intersect(g, ray, TMIN, TMAX, chunk=16)
+        np.testing.assert_allclose(np.asarray(h.t), np.asarray(h_plain.t), rtol=1e-5)
+
     def test_uv_poles_and_equator(self):
         g = sphere_group([[0, 0, 0]], [1.0])
         # hit +x side: phi = atan2(0, 1) = 0 -> u = 0.5; v = 0.5
