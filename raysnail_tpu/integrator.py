@@ -42,9 +42,12 @@ from raysnail_tpu.prelude.sampling import PI
 from raysnail_tpu.prelude.vec import Vec3
 
 # Measured crossover for routing static sphere groups through the pallas
-# traversal kernel instead of the dense sweep (scripts/ab_spherebvh_scale.py,
-# 1x v5e): dense wins 4.9x at 478 spheres; provisional threshold pending the
-# large-field sweep. "force" ignores this (tests).
+# traversal kernel instead of the dense sweep (scripts/ab_spherebvh_scale.py
+# + ab_spherebvh.py, 1x v5e, 400x225 frames):
+#   478 spheres (rtow_13_1, depth 8): dense 8.86 vs kernel 1.81  -> dense 4.9x
+#   8192 jittered-grid (depth 4):     dense 1.26 vs kernel 1.55  -> kernel 1.2x
+#   32768:                            dense 0.41 vs kernel 1.27  -> kernel 3.1x
+# "force" ignores this (tests).
 SPHERE_BVH_AUTO_MIN = 4096
 
 def _slot_layout(kinds: frozenset, has_lights: bool):
