@@ -56,12 +56,15 @@ class RenderConfig:
     compat_noise_bug: bool = False     # replicate the x=y 5x5 window bug
 
     # Execution ------------------------------------------------------------
-    ray_batch: int = 1 << 21     # rays per device dispatch (tile_pixels * spp chunk).
+    ray_batch: int = 1 << 25     # rays (pixels * spp cells) per device dispatch.
                                  # Dispatch round-trips dominate on the remote TPU
                                  # runtime (~45ms each): batching 16 spp of the
                                  # 400x225 balls scene into one dispatch measured
-                                 # 5.1x (7.95 vs 1.55 Mrays/s), no HBM pressure at
-                                 # 2M rays x 512-sphere chunks
+                                 # 5.1x (7.95 vs 1.55 Mrays/s). The sample axis
+                                 # accumulates IN the scan carry (render.py), so
+                                 # dispatch memory is O(pixels) no matter how many
+                                 # spp it covers — the canonical 800x500@64spp
+                                 # frame (25.6M cells) rides ONE dispatch
     use_pallas: str = "auto"     # spheres: "auto" | "never" | "force" (force => interpret off-TPU)
     mesh_pallas: str = "auto"    # triangle meshes: "auto" (kernel on accelerators,
                                  # XLA on CPU) | "never" | "force" (interpret off-TPU)

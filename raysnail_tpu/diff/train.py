@@ -25,6 +25,10 @@ from raysnail_tpu.config import RenderConfig
 from raysnail_tpu.diff.params import SceneParams, extract_params, inject_params
 from raysnail_tpu.prelude.vec import Vec3
 
+# rays (cells x pixels) per VJP pass — sized so one chunk's per-bounce
+# residuals (~13 floats/ray/bounce even with remat) fit comfortably in HBM
+GRAD_RAY_BUDGET = 1 << 21
+
 
 def render_image_diff(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                       params: SceneParams, key, sample_ids) -> Vec3:
@@ -83,9 +87,11 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     n_pix = cfg.width * cfg.height
 
     if accum_chunk is None:
-        # same budget heuristic as the forward renderer, with 4x headroom
-        # for the backward pass
-        accum_chunk = max(1, cfg.ray_batch // (4 * n_pix))
+        # backward memory is bounded by one chunk's per-bounce residuals, so
+        # the VJP budget stays FIXED (it must not scale with the forward
+        # dispatch-batching knob cfg.ray_batch, which is sized for O(pixels)
+        # forward dispatches)
+        accum_chunk = max(1, GRAD_RAY_BUDGET // (4 * n_pix))
 
     def chunk_sums(params, key, ids):
         """SUM image (not mean) over one chunk of cells — the VJP target."""

@@ -85,7 +85,11 @@ class RenderSession:
         cfg = self.cfg
         spp = cfg.effective_samples
         n_pix = cfg.width * cfg.height
-        k = renderlib._sample_chunks(cfg, n_pix)
+        # cap dispatch size so streaming callbacks / checkpoints still fire
+        # at a useful cadence even though the plain renderer now batches the
+        # whole frame into one dispatch
+        k = renderlib._sample_chunks(cfg, n_pix,
+                                     budget=min(cfg.ray_batch, 1 << 21))
 
         if resume is not None:
             accum_np = resume.accum

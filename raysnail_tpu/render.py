@@ -65,8 +65,16 @@ def sample_sums(scene: scenelib.Scene, cfg: RenderConfig,
         )
         return integrator.radiance(scene, arrays, cfg, ray, keys)
 
-    sums = jax.lax.map(one_sample, sample_ids)  # (k, P) Vec3
-    return sums.map(lambda a: jnp.sum(a, axis=0))
+    # accumulate IN the scan carry (not lax.map + stack + sum): memory per
+    # dispatch is O(P) regardless of how many samples it covers, which is
+    # what lets a whole 64-spp frame ride one dispatch (dispatch round-trips
+    # cost ~45ms on the remote TPU runtime — see RenderConfig.ray_batch)
+    def accumulate(acc, sid):
+        return acc + one_sample(sid), None
+
+    init = Vec3.zeros(jnp.shape(pixel_ids), cfg.dtype)
+    sums, _ = jax.lax.scan(accumulate, init, sample_ids)
+    return sums
 
 
 def make_sample_step(scene: scenelib.Scene, cfg: RenderConfig):
@@ -109,12 +117,16 @@ def _tile_grid(cfg: RenderConfig):
     return px[order], py[order], inv
 
 
-def _sample_chunks(cfg: RenderConfig, n_pix: int, multiple_of: int = 1):
+def _sample_chunks(cfg: RenderConfig, n_pix: int, multiple_of: int = 1,
+                   budget: Optional[int] = None):
     """Chunk size k dividing spp so every dispatch shares one trace.
     `multiple_of` constrains k to multiples of the mesh's sample axis so a
-    sharded step always gets evenly-shardable cell batches."""
+    sharded step always gets evenly-shardable cell batches. `budget`
+    overrides cfg.ray_batch (streaming/checkpointing callers cap it so they
+    still get progress between dispatches)."""
     spp = cfg.effective_samples
-    k_max = max(1, min(spp, cfg.ray_batch // max(n_pix, 1)))
+    budget = cfg.ray_batch if budget is None else budget
+    k_max = max(1, min(spp, budget // max(n_pix, 1)))
     good = [d for d in range(1, k_max + 1)
             if spp % d == 0 and d % multiple_of == 0]
     return max(good) if good else multiple_of
