@@ -350,11 +350,14 @@ def intersect_trees(trees, ray, t_min, t_max) -> Hit:
         # 2.5x end-to-end LOSS on quadric.sdl (round-2 bench, 45.8 -> 18.0
         # Mrays/s); the (K, N) batched form restores dense-sweep throughput
         hits = jax.vmap(lambda tr: tr.hit(ray, t_min, t_max).to_hit())(stacked)
-        # reduce over the K axis: winner = min t among valid
-        t = jnp.where(hits.valid, hits.t, BIG)
-        idx = jnp.argmin(t, axis=0)                    # (N,)
-        take = lambda a: jnp.take_along_axis(a, idx[None], axis=0)[0]
-        best = combine_hits(best, jax.tree_util.tree_map(
-            lambda a: a.map(take) if isinstance(a, Vec3) else take(a),
-            hits, is_leaf=lambda x: isinstance(x, Vec3)))
+        # reduce over the K axis with static slices + selects. NOT
+        # argmin + take_along_axis: that per-element gather across rows
+        # serializes on TPU and measured 1.5 Mrays/s end-to-end on
+        # quadric.sdl vs ~46 for select-based combining (same poison as the
+        # round-1 "eliminate dynamic gathers" finding)
+        for k in range(len(group)):
+            hk = jax.tree_util.tree_map(
+                lambda a, k=k: a.map(lambda c: c[k]) if isinstance(a, Vec3) else a[k],
+                hits, is_leaf=lambda x: isinstance(x, Vec3))
+            best = combine_hits(best, hk)
     return best
