@@ -72,6 +72,14 @@ class RenderConfig:
                                  # v4 BVH traversal kernel: "auto" (on for
                                  # accelerators) | "never" | "force" (interpret
                                  # off-TPU, for tests)
+    path_regen: str = "auto"     # path-regeneration bounce loop ("auto" = on
+                                 # for forward renders with the fast RNG):
+                                 # a dead lane immediately starts its pixel's
+                                 # next sample inside one while_loop, curing
+                                 # the scan loop's ~30% live-lane occupancy
+                                 # (scripts/alive_stats.py). "never" forces
+                                 # the per-sample scan loop (the gradient
+                                 # path always uses it).
     wavefront_sort: bool = False # stable-partition live rays to the front each
                                  # bounce (argsort + gathers vs denser packets
                                  # — measured per scene in bench --all)

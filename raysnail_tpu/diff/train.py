@@ -38,7 +38,10 @@ def render_image_diff(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     # are stop_gradient'd (their while_loops are not reverse-differentiable),
     # and sphere hit distances must stay ATTACHED so fuzz/IOR parameters get
     # reparameterized pathwise gradients through subsequent hit positions
-    cfg = cfg.replace(use_pallas="never", sphere_bvh="never")
+    # path_regen's while_loop is not reverse-differentiable: gradients flow
+    # through the per-sample scan integrator
+    cfg = cfg.replace(use_pallas="never", sphere_bvh="never",
+                      path_regen="never")
     arrays = inject_params(scene.arrays, params)
     w, h = cfg.width, cfg.height
     py, px = jnp.meshgrid(jnp.arange(h, dtype=cfg.dtype),

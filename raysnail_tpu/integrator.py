@@ -78,23 +78,21 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     `keys` is the per-ray key batch (N, ...): every draw folds in the bounce
     index and a purpose tag, so the estimate for a given (pixel, sample) is
     independent of batch tiling and mesh sharding."""
-    shape = jnp.shape(ray.direction.x)
-    static = scene.static
-    kinds = static.mat_kinds
-    slot, n_uniforms = _slot_layout(kinds, static.has_lights)
+    return radiance_and_alive(scene, arrays, cfg, ray, keys)[0]
 
-    # pallas policy: the v4 traversal kernel (ops/bvh_pallas.py) carries both
-    # the mesh path and large static sphere groups on accelerators; the old
-    # dense-sweep sphere kernel (ops/sphere_pallas.py) stays behind "force"
-    # for tests. CPU runs everything through fused XLA (pallas only under
-    # interpret, for tests).
+
+def _pallas_policy(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
+                   cfg: RenderConfig) -> dict:
+    """Kernel-routing flags for scenelib.intersect: the v4 traversal kernel
+    (ops/bvh_pallas.py) carries both the mesh path and large static sphere
+    groups on accelerators; the old dense-sweep sphere kernel
+    (ops/sphere_pallas.py) stays behind "force" for tests. CPU runs
+    everything through fused XLA (pallas only under interpret, for tests)."""
     on_cpu = jax.default_backend() == "cpu"
     use_pallas = cfg.use_pallas == "force"
-    pallas_interpret = use_pallas and on_cpu
     mesh_pallas = cfg.mesh_pallas == "force" or (
         cfg.mesh_pallas == "auto" and not on_cpu
     )
-    mesh_interpret = mesh_pallas and on_cpu
     # sphere_bvh "auto" gate is COUNT-aware: at 478 spheres (rtow_13_1,
     # 400x225@16spp depth 8, v5e) the traversal kernel measured 1.81 Mrays/s
     # vs 8.86 for the dense (rays x spheres) sweep — the pairwise sweep is
@@ -107,35 +105,31 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         cfg.sphere_bvh == "auto" and not on_cpu
         and n_spheres >= SPHERE_BVH_AUTO_MIN
     )
-    sphere_bvh_interpret = sphere_bvh and on_cpu
+    return dict(
+        use_pallas=use_pallas,
+        pallas_interpret=use_pallas and on_cpu,
+        mesh_pallas=mesh_pallas,
+        mesh_interpret=mesh_pallas and on_cpu,
+        mesh_sort=cfg.mesh_sort,
+        sphere_bvh=sphere_bvh,
+        sphere_bvh_interpret=sphere_bvh and on_cpu,
+    )
 
-    def bounce(carry, b):
-        if cfg.wavefront_sort:
-            # wavefront compaction: stable-partition live lanes to the front
-            # so traversal packets (128 consecutive lanes) are dense in live
-            # rays. Costs one argsort + ~16 gathers per bounce — kept behind
-            # a flag so the tradeoff is measurable per scene (bench --all
-            # reports book2 both ways).
-            o, d, time, T, L, alive, kv, rid = carry
-            order = jnp.argsort(~alive, stable=True)
-            take = lambda a: jnp.take(a, order, axis=0)
-            o, d, T, L = (v.map(take) for v in (o, d, T, L))
-            time, alive, kv, rid = (take(a) for a in (time, alive, kv, rid))
-        else:
-            o, d, time, T, L, alive = carry
-            kv = keys
-        r = Ray(origin=o, direction=d, time=time)
-        kb = prng.fold_all(kv, b)
 
+def _make_shade(scene: scenelib.Scene, cfg: RenderConfig, policy: dict):
+    """One bounce of the estimator, shared by the scan integrator
+    (radiance_and_alive) and the path-regeneration integrator
+    (radiance_regen): (arrays, ray, T, L, alive, kb) ->
+    (new_o, new_d, T, L, alive). Dead lanes keep their incoming ray state."""
+    static = scene.static
+    kinds = static.mat_kinds
+    slot, n_uniforms = _slot_layout(kinds, static.has_lights)
+
+    def shade(arrays, r: Ray, T, L, alive, kb):
+        o, d = r.origin, r.direction
+        shape = jnp.shape(d.x)
         hit = scenelib.intersect(scene, arrays, r, cfg.t_min, cfg.t_max, kb,
-                                 use_pallas=use_pallas,
-                                 pallas_interpret=pallas_interpret,
-                                 mesh_pallas=mesh_pallas,
-                                 mesh_interpret=mesh_interpret,
-                                 mesh_sort=cfg.mesh_sort,
-                                 sphere_bvh=sphere_bvh,
-                                 sphere_bvh_interpret=sphere_bvh_interpret,
-                                 active=alive)
+                                 active=alive, **policy)
 
         # miss -> background, die (camera.rs:254)
         bg = arrays.background.color(d)
@@ -222,9 +216,41 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
         o = Vec3.where(alive, new_o, o)
         d = Vec3.where(alive, new_d, d)
+        return o, d, T, L, alive
+
+    return shade
+
+
+def radiance_and_alive(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
+                       cfg: RenderConfig, ray: Ray, keys):
+    """radiance() plus the per-bounce live-lane counts (max_depth,) int32 —
+    the occupancy diagnostic behind scripts/alive_stats.py's dead-lane
+    analysis (DCE'd by XLA when the caller ignores it)."""
+    shape = jnp.shape(ray.direction.x)
+    shade = _make_shade(scene, cfg, _pallas_policy(scene, arrays, cfg))
+
+    def bounce(carry, b):
         if cfg.wavefront_sort:
-            return (o, d, time, T, L, alive, kv, rid), None
-        return (o, d, time, T, L, alive), None
+            # wavefront compaction: stable-partition live lanes to the front
+            # so traversal packets (128 consecutive lanes) are dense in live
+            # rays. Costs one argsort + ~16 gathers per bounce — kept behind
+            # a flag so the tradeoff is measurable per scene (bench --all
+            # reports book2 both ways).
+            o, d, time, T, L, alive, kv, rid = carry
+            order = jnp.argsort(~alive, stable=True)
+            take = lambda a: jnp.take(a, order, axis=0)
+            o, d, T, L = (v.map(take) for v in (o, d, T, L))
+            time, alive, kv, rid = (take(a) for a in (time, alive, kv, rid))
+        else:
+            o, d, time, T, L, alive = carry
+            kv = keys
+        kb = prng.fold_all(kv, b)
+        o, d, T, L, alive = shade(
+            arrays, Ray(origin=o, direction=d, time=time), T, L, alive, kb)
+        n_alive = jnp.sum(alive, dtype=jnp.int32)
+        if cfg.wavefront_sort:
+            return (o, d, time, T, L, alive, kv, rid), n_alive
+        return (o, d, time, T, L, alive), n_alive
 
     init = (
         ray.origin, ray.direction, ray.time,
@@ -240,7 +266,7 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         # floats/ray) and recomputes the bounce body — an order of magnitude
         # less residual memory, which is what bounds fwd+bwd batch sizes
         body = jax.checkpoint(bounce)
-    out_carry, _ = jax.lax.scan(body, init, jnp.arange(cfg.max_depth))
+    out_carry, alive_counts = jax.lax.scan(body, init, jnp.arange(cfg.max_depth))
     L = out_carry[4]
     if cfg.wavefront_sort:
         # scatter the accumulated radiance back into original ray order
@@ -251,4 +277,83 @@ def radiance(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
             jnp.zeros(shape, L.z.dtype).at[rid].set(L.z),
         )
     # rays still alive after the budget contribute nothing (camera.rs:161-163)
-    return L
+    return L, alive_counts
+
+
+def radiance_regen(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
+                   cfg: RenderConfig, camera, px, py, keys0, s0, n_samples: int):
+    """Path-REGENERATION integrator: radiance SUMS over stratification cells
+    [s0, s0 + n_samples) for each pixel lane.
+
+    The scan integrator's bounce loop runs at ~27-35% live-lane occupancy
+    (scripts/alive_stats.py): most paths die after 1-2 bounces but the
+    remaining depth budget still executes as masked VPU work, and every
+    sample restarts the full-width loop. Here each lane owns ONE pixel and,
+    the moment its path dies, starts the pixel's next sample in place —
+    one lax.while_loop whose trip count is the worst lane's TOTAL path
+    length over its samples instead of max_depth * spp. No sorts, no
+    gathers, no scatters: the classic wavefront-tracer design mapped onto
+    XLA static shapes. Draws are keyed by (seed, pixel, sample, bounce)
+    exactly like the scan path, so both integrators compute the identical
+    estimate (modulo summation order).
+
+    Forward-only (while_loop does not reverse-differentiate — the scan path
+    stays the gradient surface) and fast-RNG only (per-lane sample folds are
+    one fmix32 round; threefry folds would dominate the body).
+
+    Returns (L_sums, n_iterations)."""
+    from raysnail_tpu.camera import generate_rays
+
+    shape = jnp.shape(px)
+    dtype = cfg.dtype
+    sqrt_spp = cfg.sqrt_spp
+    if cfg.max_depth <= 0:  # depth 0 renders black (camera.rs:161-163)
+        return Vec3.zeros(shape, dtype), jnp.asarray(0, jnp.int32)
+    shade = _make_shade(scene, cfg, _pallas_policy(scene, arrays, cfg))
+    s_end = jnp.asarray(s0 + n_samples, jnp.int32)
+
+    def new_ray(sid):
+        keys_s = prng.fold_all(keys0, sid)
+        s_i = (sid % sqrt_spp).astype(dtype)
+        s_j = (sid // sqrt_spp).astype(dtype)
+        return generate_rays(camera, px, py, s_i, s_j, sqrt_spp,
+                             cfg.width, cfg.height, keys_s)
+
+    sid0 = jnp.full(shape, s0, jnp.int32)
+    r0 = new_ray(sid0)
+    state0 = (
+        sid0,
+        jnp.zeros(shape, jnp.int32),          # bounce index of current path
+        r0.origin, r0.direction, r0.time,
+        Vec3.ones(shape, dtype),              # T (current path throughput)
+        Vec3.zeros(shape, dtype),             # L (sum over ALL samples)
+        jnp.ones(shape, bool),                # current path alive
+        jnp.asarray(0, jnp.int32),            # iteration counter (diagnostic)
+    )
+
+    def cond(st):
+        return jnp.any(st[0] < s_end)
+
+    def body(st):
+        sid, b, o, d, time, T, L, alive, it = st
+        kb = prng.fold_all(prng.fold_all(keys0, sid), b)
+        o, d, T, L, alive2 = shade(
+            arrays, Ray(origin=o, direction=d, time=time), T, L, alive, kb)
+        # a path at its final bounce contributes nothing more
+        # (camera.rs:161-163) — it is done the moment it is shaded
+        alive2 = alive2 & (b + 1 < cfg.max_depth)
+        done = alive & (~alive2)
+        sid = sid + done.astype(jnp.int32)
+        regen = done & (sid < s_end)
+        # restart: fresh camera ray for the next stratification cell
+        rn = new_ray(sid)
+        o = Vec3.where(regen, rn.origin, o)
+        d = Vec3.where(regen, rn.direction, d)
+        time = jnp.where(regen, rn.time, time)
+        T = Vec3.where(regen, Vec3.ones(shape, dtype), T)
+        b = jnp.where(done, 0, b + 1)
+        alive = alive2 | regen
+        return sid, b, o, d, time, T, L, alive, it + 1
+
+    out = jax.lax.while_loop(cond, body, state0)
+    return out[6], out[8]

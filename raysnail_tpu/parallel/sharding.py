@@ -126,6 +126,11 @@ def make_sharded_train_step(scene: scenelib.Scene, camera: Camera,
 
     from raysnail_tpu.diff.params import extract_params
 
+    # gradients flow through the per-sample scan integrator (path_regen's
+    # while_loop is not reverse-differentiable) on fused XLA
+    cfg = cfg.replace(path_regen="never", use_pallas="never",
+                      sphere_bvh="never")
+
     if optimizer is None:
         optimizer = optax.adam(1e-2)
 

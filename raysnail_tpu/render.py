@@ -38,26 +38,41 @@ def sample_sums(scene: scenelib.Scene, cfg: RenderConfig,
                 sample_ids, px, py) -> Vec3:
     """Radiance sums over the given stratification cells for the given flat
     pixel coordinates — the traceable core shared by the jitted single-chip
-    step and the shard_map'd multi-chip step. Returns a (P,) Vec3."""
+    step and the shard_map'd multi-chip step. Returns a (P,) Vec3.
+
+    sample_ids must be a CONTIGUOUS ascending range (every caller builds it
+    with arange): the path-regeneration integrator consumes it as
+    [ids[0], ids[0] + len)."""
     w, h = cfg.width, cfg.height
     sqrt_spp = cfg.sqrt_spp
     pixel_ids = (py.astype(jnp.int32) * w + px.astype(jnp.int32))
 
+    backend = cfg.rng
+    if backend == "auto":
+        # fast everywhere: the fmix32 hash measured +62% end-to-end on
+        # TPU v5e once dispatches were spp-batched (the earlier "threefry
+        # on TPU" pick predated that regime and no longer holds)
+        backend = "fast"
+
+    if backend == "fast":
+        # per-ray streams from (seed, pixel), folding sample/bounce per lane
+        # — the per-LANE sample fold is what lets the regeneration integrator
+        # advance each lane's sample counter independently
+        keys0 = prng.fast_streams(key, pixel_ids)
+        if cfg.path_regen != "never" and not cfg.wavefront_sort:
+            sums, _ = integrator.radiance_regen(
+                scene, arrays, cfg, camera, px, py, keys0,
+                sample_ids[0], int(sample_ids.shape[0]))
+            return sums
+
     def one_sample(sid):
         s_i = (sid % sqrt_spp).astype(cfg.dtype)
         s_j = (sid // sqrt_spp).astype(cfg.dtype)
-        # per-ray keys from (seed, sample_id, pixel_id): shard-invariant
-        base = jax.random.fold_in(key, sid)
-        backend = cfg.rng
-        if backend == "auto":
-            # fast everywhere: the fmix32 hash measured +62% end-to-end on
-            # TPU v5e once dispatches were spp-batched (the earlier "threefry
-            # on TPU" pick predated that regime and no longer holds)
-            backend = "fast"
         if backend == "fast":
-            keys = prng.fast_streams(base, pixel_ids)
+            keys = prng.fold_all(keys0, sid)
         else:
-            keys = prng.per_ray_keys(base, pixel_ids)
+            # threefry: per-ray keys from (seed, sample_id, pixel_id)
+            keys = prng.per_ray_keys(jax.random.fold_in(key, sid), pixel_ids)
         ray = generate_rays(
             camera, px, py,
             jnp.full_like(px, s_i), jnp.full_like(py, s_j),
