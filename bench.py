@@ -41,21 +41,33 @@ def _time_render(scene, camera, cfg, passes: int = 1):
 
     from raysnail_tpu.prelude import rng as prng
     from raysnail_tpu.render import (_sample_chunks, _tile_grid,
-                                     make_sample_step, render_passes)
+                                     make_frame_step, make_sample_step,
+                                     render_passes)
 
-    step = make_sample_step(scene, cfg)
-    px, py, _ = _tile_grid(cfg)
-    px = jnp.asarray(px, cfg.dtype)
-    py = jnp.asarray(py, cfg.dtype)
     key = prng.key(7)
     spp = cfg.effective_samples
-    k = _sample_chunks(cfg, cfg.width * cfg.height)
+    frame = make_frame_step(scene, cfg)  # shuffled-regen full-frame step
+    if frame is not None:
+        run = lambda: frame(scene.arrays, camera, key)
+    else:
+        step = make_sample_step(scene, cfg)
+        px, py, _ = _tile_grid(cfg)
+        px = jnp.asarray(px, cfg.dtype)
+        py = jnp.asarray(py, cfg.dtype)
+        k = _sample_chunks(cfg, cfg.width * cfg.height)
+
+        def run():
+            accum = None
+            for start in range(0, spp, k):
+                ids = jnp.arange(start, start + k, dtype=jnp.int32)
+                sums = step(scene.arrays, camera, key, ids, px, py)
+                accum = sums if accum is None else accum + sums
+            return accum
 
     # NOTE: jax.block_until_ready does NOT actually block under the axon
     # remote runtime — fetch a scalar to force execution before timing.
     t0 = time.time()
-    out = step(scene.arrays, camera, key, jnp.arange(k, dtype=jnp.int32), px, py)
-    float(out.x.sum())
+    float(run().x.sum())
     compile_s = time.time() - t0
 
     if passes > 1:
@@ -66,20 +78,14 @@ def _time_render(scene, camera, cfg, passes: int = 1):
         primary = cfg.width * cfg.height * spp  # first pass; later passes partial
         return primary * passes / dt / 1e6, compile_s, dt
 
-    # steady state: the full frame, chunked like the real render path
-    # (dispatch round-trips on the remote runtime cost ~45ms each). The
+    # steady state: the full frame (one dispatch on the regen path). The
     # tunnel's throughput drifts ~1.5-2x between grant sessions, so run a
     # few reps and report the best (the device's actual capability).
     reps = int(os.environ.get("RAYSNAIL_BENCH_REPS", "3"))
     best_dt = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        accum = None
-        for start in range(0, spp, k):
-            ids = jnp.arange(start, start + k, dtype=jnp.int32)
-            sums = step(scene.arrays, camera, key, ids, px, py)
-            accum = sums if accum is None else accum + sums
-        float(accum.x.sum())  # host fetch forces the whole chain
+        float(run().x.sum())  # host fetch forces the whole chain
         best_dt = min(best_dt, time.time() - t0)
     primary = cfg.width * cfg.height * spp
     return primary / best_dt / 1e6, compile_s, best_dt

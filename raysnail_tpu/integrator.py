@@ -357,3 +357,110 @@ def radiance_regen(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
     out = jax.lax.while_loop(cond, body, state0)
     return out[6], out[8]
+
+
+def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
+                           cfg: RenderConfig, camera, key, spp: int):
+    """Full-frame path regeneration with cross-pixel cell SHUFFLING:
+    row-major radiance sums over all spp stratification cells.
+
+    Plain per-pixel regeneration barely reduces the while_loop trip count
+    (480 vs 512 on example.sdl): one worst-case pixel whose paths always run
+    the full depth dominates the max over lanes. Here lane i's k-th cell is
+    pixel (i + k*stride) mod N — each lane's total path length is a sum over
+    C cells of DIFFERENT pixels, which concentrates by the law of large
+    numbers and collapses the trip count toward spp * mean_path_length.
+
+    Per-cell radiance lands in a (N, C) column table via a C-wide one-hot
+    add (the only extra per-iteration cost, ~3C fma); pixel sums are
+    recovered with C static jnp.rolls — no gathers or scatters anywhere.
+    Draws stay keyed by (seed, pixel, sample, bounce), so the estimate is
+    identical to the scan/plain-regen integrators, just summed in a
+    different lane order.
+
+    Returns (L_sums row-major (N,) Vec3, n_iterations)."""
+    from raysnail_tpu.camera import generate_rays
+
+    n_pix = cfg.width * cfg.height
+    dtype = cfg.dtype
+    sqrt_spp = cfg.sqrt_spp
+    if cfg.max_depth <= 0 or spp <= 0:
+        return Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)
+    shade = _make_shade(scene, cfg, _pallas_policy(scene, arrays, cfg))
+
+    # chunk width: largest divisor of spp <= 21 — wide enough that a lane's
+    # chunk mixes many pixels (trip concentration), narrow enough that the
+    # per-iteration one-hot add stays a few dozen fma
+    C = max(d for d in range(1, min(spp, 21) + 1) if spp % d == 0)
+    n_chunks = spp // C
+    # golden-ratio stride: a lane's consecutive cells land on far-apart
+    # pixels, decorrelating their path lengths
+    S = (int(n_pix * 0.6180339887) | 1) % n_pix
+    lanes = jnp.arange(n_pix, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+
+    def new_ray(k, cs0):
+        p = (lanes + k * S) % n_pix
+        sid = cs0 + k
+        keys_s = prng.fold_all(prng.fast_streams(key, p), sid)
+        px = (p % cfg.width).astype(dtype)
+        py = (p // cfg.width).astype(dtype)
+        s_i = (sid % sqrt_spp).astype(dtype)
+        s_j = (sid // sqrt_spp).astype(dtype)
+        r = generate_rays(camera, px, py, s_i, s_j, sqrt_spp,
+                          cfg.width, cfg.height, keys_s)
+        return r, keys_s
+
+    def chunk(carry, cs0):
+        L_pix, it0 = carry
+        k0 = jnp.zeros(n_pix, jnp.int32)
+        r0, _ = new_ray(k0, cs0)
+        zt = jnp.zeros((n_pix, C), dtype)
+        st0 = (k0, jnp.zeros(n_pix, jnp.int32),
+               r0.origin, r0.direction, r0.time,
+               Vec3.ones((n_pix,), dtype),
+               zt, zt, zt,
+               jnp.ones(n_pix, bool), it0)
+
+        def cond(st):
+            return jnp.any(st[0] < C)
+
+        def body(st):
+            k, b, o, d, time, T, tx, ty, tz, alive, it = st
+            p = (lanes + k * S) % n_pix
+            keys_s = prng.fold_all(prng.fast_streams(key, p), cs0 + k)
+            kb = prng.fold_all(keys_s, b)
+            o, d, T, L_add, alive2 = shade(
+                arrays, Ray(origin=o, direction=d, time=time), T,
+                Vec3.zeros((n_pix,), dtype), alive, kb)
+            oh = (k[:, None] == cols[None, :]).astype(dtype)  # (N, C)
+            tx = tx + oh * L_add.x[:, None]
+            ty = ty + oh * L_add.y[:, None]
+            tz = tz + oh * L_add.z[:, None]
+            alive2 = alive2 & (b + 1 < cfg.max_depth)
+            done = alive & (~alive2)
+            k = k + done.astype(jnp.int32)
+            regen = done & (k < C)
+            rn, _ = new_ray(k, cs0)
+            o = Vec3.where(regen, rn.origin, o)
+            d = Vec3.where(regen, rn.direction, d)
+            time = jnp.where(regen, rn.time, time)
+            T = Vec3.where(regen, Vec3.ones((n_pix,), dtype), T)
+            b = jnp.where(done, 0, b + 1)
+            alive = alive2 | regen
+            return k, b, o, d, time, T, tx, ty, tz, alive, it + 1
+
+        out = jax.lax.while_loop(cond, body, st0)
+        tx, ty, tz, it = out[6], out[7], out[8], out[10]
+        # regroup: column k's row i is pixel (i + k*S) mod N -> roll forward
+        for k in range(C):
+            shift = (k * S) % n_pix
+            L_pix = L_pix + Vec3(jnp.roll(tx[:, k], shift),
+                                 jnp.roll(ty[:, k], shift),
+                                 jnp.roll(tz[:, k], shift))
+        return (L_pix, it), None
+
+    cs0s = jnp.arange(n_chunks, dtype=jnp.int32) * C
+    (L_pix, it), _ = jax.lax.scan(
+        chunk, (Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)), cs0s)
+    return L_pix, it

@@ -103,6 +103,25 @@ def make_sample_step(scene: scenelib.Scene, cfg: RenderConfig):
     return step
 
 
+def make_frame_step(scene: scenelib.Scene, cfg: RenderConfig):
+    """Jitted FULL-FRAME step through the shuffled path-regeneration
+    integrator: step(arrays, camera, key) -> (W*H,) Vec3 radiance sums in
+    ROW-MAJOR pixel order (all effective spp in one dispatch). Returns None
+    when the shuffle path doesn't apply (threefry RNG, regen disabled, or
+    wavefront_sort A/B) — callers fall back to the sample-step path."""
+    backend = "fast" if cfg.rng == "auto" else cfg.rng
+    if backend != "fast" or cfg.path_regen == "never" or cfg.wavefront_sort:
+        return None
+
+    @jax.jit
+    def step(arrays: scenelib.SceneArrays, camera: Camera, key):
+        sums, _ = integrator.radiance_regen_shuffle(
+            scene, arrays, cfg, camera, key, cfg.effective_samples)
+        return sums
+
+    return step
+
+
 def _full_grid(cfg: RenderConfig):
     py, px = np.meshgrid(np.arange(cfg.height), np.arange(cfg.width), indexing="ij")
     return px.ravel().astype(np.float32), py.ravel().astype(np.float32)
@@ -173,6 +192,12 @@ def render_sums(scene, camera, cfg, seed, px, py, step=None,
 def render(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
            seed: int = 0, arrays=None) -> np.ndarray:
     """Single-pass full frame -> (H, W, 3) float32 display image."""
+    frame = make_frame_step(scene, cfg)
+    if frame is not None:
+        accum = frame(arrays if arrays is not None else scene.arrays,
+                      camera, prng.key(seed))
+        img = colorlib.into_color(accum, float(cfg.effective_samples), cfg.gamma)
+        return np.asarray(img.to_array()).reshape(cfg.height, cfg.width, 3)
     px, py, inv = _tile_grid(cfg)
     accum = render_sums(scene, camera, cfg, seed, px, py, arrays=arrays)
     img = colorlib.into_color(accum, float(cfg.effective_samples), cfg.gamma)
@@ -227,16 +252,27 @@ def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     with `k_multiple` = the mesh's sample-axis size, so adaptive passes run
     on the device mesh too."""
     spp = cfg.effective_samples
+    frame = (make_frame_step(scene, cfg)
+             if step is None and k_multiple == 1 else None)
     step = step or make_sample_step(scene, cfg)
     px_full, py_full = _full_grid(cfg)
     px_t, py_t, inv = _tile_grid(cfg)
     h, w = cfg.height, cfg.width
 
-    accum = render_sums(scene, camera, cfg, seed, px_t, py_t, step=step,
-                        arrays=arrays, k_multiple=k_multiple)
-    img = np.array(
-        colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
-    )[inv].reshape(h, w, 3)
+    if frame is not None:
+        # full first pass through the shuffled-regeneration frame step
+        # (row-major output); sparse later passes use the sample step
+        accum = frame(arrays if arrays is not None else scene.arrays,
+                      camera, prng.key(seed))
+        img = np.array(
+            colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
+        ).reshape(h, w, 3)
+    else:
+        accum = render_sums(scene, camera, cfg, seed, px_t, py_t, step=step,
+                            arrays=arrays, k_multiple=k_multiple)
+        img = np.array(
+            colorlib.into_color(accum, float(spp), cfg.gamma).to_array()
+        )[inv].reshape(h, w, 3)
     if progress is not None and progress(spp, spp * cfg.passes, img) is False:
         return img  # cancelled (the Quit the reference never polled)
 
