@@ -10,8 +10,6 @@ Reference quirks covered (file:line cites into /root/reference):
   * HittablePdf value() falls back to a cosine pdf, not solid angle
                                             src/prelude/pdf.rs:254-263
   * effective spp = floor(sqrt(n))**2       src/painter.rs:110-118
-  * transform facade does NOT transform normals
-                                            src/hittable/transform/tf_facade.rs:49-53
   * adaptive-noise 5x5 window column bug    src/bin/raysnail.rs:163
 """
 
@@ -52,8 +50,11 @@ class RenderConfig:
 
     # Compat flags ---------------------------------------------------------
     compat_spp_square: bool = True     # effective spp = floor(sqrt(n))**2
-    compat_transform_normals: bool = False  # True = replicate untransformed-normal bug
     compat_noise_bug: bool = False     # replicate the x=y 5x5 window bug
+    # NOTE: the reference's untransformed-normal quirk (tf_facade.rs:49-53) is
+    # a DOCUMENTED DEVIATION, not a flag: transforms are baked into primitive
+    # arrays at scene-compile time and normals always use the correct
+    # inverse-transpose (PARITY.md "Transform normals").
 
     # Execution ------------------------------------------------------------
     ray_batch: int = 1 << 25     # rays (pixels * spp cells) per device dispatch.
