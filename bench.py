@@ -393,8 +393,10 @@ def main():
         for name in names:
             results[name] = _run_isolated(name)
             log(f"bench[{name}]: {results[name]}")
-        with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
-            json.dump({"device": str(dev), "results": results}, f, indent=2)
+            # write after EVERY config: a sweep cut short by the wall clock
+            # still leaves a fresh artifact
+            with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
+                json.dump({"device": str(dev), "results": results}, f, indent=2)
         log("wrote BENCH_DETAILS.json")
     else:
         results["example.sdl"] = _run_one("example.sdl", small)

@@ -66,8 +66,8 @@ CHUNK = int(os.environ.get("RAYSNAIL_BVH_CHUNK", "8"))
 _NOATTR = os.environ.get("RAYSNAIL_BVH_NOATTR") == "1"  # perf probe only
 
 
-def _kernel(rays, bb, links, prim, bounds, out, buf, *, n_nodes: int,
-            n_orders: int, kind: str):
+def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
+            n_orders: int, kind: str, stream: bool):
     """Refs:
       rays:  (GROUP, 8, PACKET) f32 — packed ray rows per packet:
              [ox oy oz dx dy dz t_cap pad]; t_cap <= 0 marks a dead lane
@@ -81,7 +81,16 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *, n_nodes: int,
       out:   (GROUP, 8, PACKET) f32 — [t a0 a1 a2 a3 a4 pad pad]:
         tri:    a0-2 = blended (unnormalized) normal, a3 = 0, a4 = mat id
         sphere: a0-2 = center, a3 = radius, a4 = mat id
+
+    stream=True: `prim` lives in HBM (pl.ANY); admitted leaf blocks are
+    DMA'd into a CHUNK-deep VMEM scratch ring (`vbuf`) — all of a walk
+    segment's copies are issued back-to-back, then each sweep waits only on
+    its own semaphore, so copy latency overlaps both the remaining issues
+    and earlier sweeps. Lifts the whole-mesh VMEM-residency cap (~1.4M tris
+    at 12 KB per 128-triangle block) to HBM capacity.
     """
+    if stream:
+        vbuf, sem = scratch
     t_min = bounds[0, 0]
     t_max = bounds[0, 1]
     sub_tri = jax.lax.broadcasted_iota(jnp.int32, (PACKET, LANES), 1)
@@ -145,9 +154,8 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *, n_nodes: int,
                         jnp.minimum(far0, cap_in) * 1.0001 + 1e-4, -BIG)
         start = jnp.where(jnp.max(cap) >= t_min, 0, n_nodes).astype(jnp.int32)
 
-        def sweep(blk, args):
+        def sweep(m, args):
             bt, a0, a1, a2, a3, a4 = args
-            m = prim[pl.ds(blk, 1), :, :].reshape(prim.shape[1], LANES)
             fld = lambda i: m[i:i + 1, :]                    # (1, LANES)
             if kind == "tri":
                 # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131):
@@ -255,8 +263,27 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *, n_nodes: int,
                 lambda s: (s[0] < n_nodes) & (s[1] < CHUNK), walk_seg,
                 (node, jnp.asarray(0, jnp.int32), btc))
 
-            def sweep_j(j, args):
-                return sweep(buf[j], args)
+            if stream:
+                def copy(j):
+                    return pltpu.make_async_copy(
+                        prim.at[pl.ds(buf[j], 1)], vbuf.at[pl.ds(j, 1)],
+                        sem.at[j])
+
+                def issue(j, c):
+                    copy(j).start()
+                    return c
+
+                jax.lax.fori_loop(0, nbuf, issue, 0)
+
+                def sweep_j(j, args):
+                    copy(j).wait()
+                    m = vbuf[pl.ds(j, 1), :, :].reshape(vbuf.shape[1], LANES)
+                    return sweep(m, args)
+            else:
+                def sweep_j(j, args):
+                    m = prim[pl.ds(buf[j], 1), :, :].reshape(
+                        prim.shape[1], LANES)
+                    return sweep(m, args)
 
             bt, a0, a1, a2, a3, a4 = jax.lax.fori_loop(
                 0, nbuf, sweep_j, (bt, a0, a1, a2, a3, a4))
@@ -278,10 +305,17 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *, n_nodes: int,
     jax.lax.fori_loop(0, GROUP, packet, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+# prim blocks above this stay in HBM and stream into a VMEM ring per walk
+# segment (leaves VMEM headroom for rays/outputs; the resident path's own
+# cap is vmem_limit_bytes below)
+STREAM_BYTES = int(os.environ.get("RAYSNAIL_BVH_STREAM_BYTES",
+                                  str(64 * 1024 * 1024)))
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret", "stream"))
 def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
                  prim_packed, t_min, t_max, kind: str = "tri",
-                 interpret: bool = False):
+                 interpret: bool = False, stream: bool | None = None):
     """-> (t, a0, a1, a2, a3, mat_id), each (N,). Caller pads N to TILE_R.
 
     t_cap: per-ray admission cap (N,) — pass the best hit distance from
@@ -289,6 +323,9 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
     lanes the integrator already killed. bb_packed (K, M, 8) f32,
     links_packed (K, M, 4) i32 (K = 8 octant orders or 1), prim_packed
     (B, NF, 128) f32 — see scene._pack_leaf_blocks.
+
+    stream: None = auto (HBM leaf streaming when prim blocks exceed
+    STREAM_BYTES); True/False force it (tests).
     """
     ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in origin_xyz)
     dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in dir_xyz)
@@ -304,29 +341,42 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
     rays = jnp.swapaxes(rays.reshape(8, -1, PACKET), 0, 1)  # (R, 8, PACKET)
     bounds = jnp.asarray([[t_min, t_max]], jnp.float32)
 
+    if stream is None:
+        stream = prim_packed.size * 4 > STREAM_BYTES
+
     blk_spec = pl.BlockSpec((GROUP, 8, PACKET), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     def smem(arr):
         nd = arr.ndim
         return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
                             memory_space=pltpu.SMEM)
-    full3 = pl.BlockSpec(prim_packed.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
+    if stream:
+        # leaf blocks stay in HBM; the kernel DMAs admitted blocks into a
+        # CHUNK-deep VMEM ring per walk segment
+        prim_spec = pl.BlockSpec(memory_space=pl.ANY)
+        nf = prim_packed.shape[1]
+        scratch = [pltpu.SMEM((CHUNK,), jnp.int32),
+                   pltpu.VMEM((CHUNK, nf, LANES), jnp.float32),
+                   pltpu.SemaphoreType.DMA((CHUNK,))]
+    else:
+        prim_spec = pl.BlockSpec(prim_packed.shape, lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        scratch = [pltpu.SMEM((CHUNK,), jnp.int32)]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_nodes=m, n_orders=n_orders, kind=kind),
+        functools.partial(_kernel, n_nodes=m, n_orders=n_orders, kind=kind,
+                          stream=stream),
         grid=(n // TILE_R,),
-        in_specs=[blk_spec, smem(bb_flat), smem(links_flat), full3,
+        in_specs=[blk_spec, smem(bb_flat), smem(links_flat), prim_spec,
                   smem(bounds)],
         out_specs=blk_spec,
         out_shape=jax.ShapeDtypeStruct((n // PACKET, 8, PACKET), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            # leaf blocks are 12 KB (tri) / 4 KB (sphere) per 128 prims:
-            # ~8M tris fit the v5e's 128 MB VMEM before DMA streaming is
-            # needed; cap below that so Mosaic keeps headroom
+            # resident leaf blocks are 12 KB (tri) / 4 KB (sphere) per 128
+            # prims: ~1M tris fit under this cap; larger meshes stream
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        scratch_shapes=[pltpu.SMEM((CHUNK,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(rays, bb_flat, links_flat, prim_packed, bounds)
 

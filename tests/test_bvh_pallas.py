@@ -115,3 +115,30 @@ def test_sphere_bvh_kernel_matches_dense(rng_np):
     np.testing.assert_allclose(
         np.asarray(h_ref.normal.to_array())[both],
         np.asarray(h_pk.normal.to_array())[both], atol=2e-3)
+
+
+def test_hbm_leaf_streaming_matches_resident(rng_np):
+    """stream=True (HBM leaf blocks + DMA ring) must be bit-identical to the
+    VMEM-resident path."""
+    from raysnail_tpu.ops import bvh_pallas
+
+    v, f, n = uv_sphere(12, 16, center=(0.0, 0.0, -3.0))
+    group = _group(v, f, n)
+    n_rays = bvh_pallas.TILE_R
+    o = rng_np.uniform(-1, 1, (n_rays, 3)).astype(np.float32)
+    d = rng_np.standard_normal((n_rays, 3)).astype(np.float32)
+    d[:, 2] -= 2.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    args = (
+        (jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2])),
+        (jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2])),
+        jnp.full(n_rays, 1e30, jnp.float32),
+        group.pk_bb, group.pk_links, group.pk_tri,
+        TMIN, TMAX,
+    )
+    res = bvh_pallas.bvh_traverse(*args, kind="tri", interpret=True,
+                                  stream=False)
+    strm = bvh_pallas.bvh_traverse(*args, kind="tri", interpret=True,
+                                   stream=True)
+    for a, b in zip(res, strm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
