@@ -388,10 +388,13 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         return Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)
     shade = _make_shade(scene, cfg, _pallas_policy(scene, arrays, cfg))
 
-    # chunk width: largest divisor of spp <= 21 — wide enough that a lane's
-    # chunk mixes many pixels (trip concentration), narrow enough that the
-    # per-iteration one-hot add stays a few dozen fma
-    C = max(d for d in range(1, min(spp, 21) + 1) if spp % d == 0)
+    # chunk width: largest divisor of spp <= the cap — wide enough that a
+    # lane's chunk mixes many pixels (trip concentration), narrow enough
+    # that the per-iteration one-hot add stays a few dozen fma (3C fma) and
+    # the (N, C) f32 cell tables stay small. Env knob for perf probes.
+    import os
+    cap = int(os.environ.get("RAYSNAIL_REGEN_C", "21"))
+    C = max(d for d in range(1, min(spp, cap) + 1) if spp % d == 0)
     n_chunks = spp // C
     # golden-ratio stride: a lane's consecutive cells land on far-apart
     # pixels, decorrelating their path lengths

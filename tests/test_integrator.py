@@ -134,3 +134,30 @@ def test_wavefront_sort_is_invariant():
     img_a = render(scene, cam, cfg, seed=5)
     img_b = render(scene, cam, cfg.replace(wavefront_sort=True), seed=5)
     np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
+def test_regen_chunk_width_is_invariant(monkeypatch):
+    """RAYSNAIL_REGEN_C (shuffle chunk width) is a pure perf knob: cells
+    accumulate in ascending cell order for any C; XLA fusion differences
+    leave only float-reassociation noise (<= ~1e-5 relative on cell sums)."""
+    import jax
+
+    from raysnail_tpu.integrator import radiance_regen_shuffle
+    from raysnail_tpu.prelude import rng as prng
+    from raysnail_tpu.sdl import build_scene
+    import os
+
+    cfg = RenderConfig(width=24, height=16, samples=16, max_depth=4)
+    scene, cam = build_scene(
+        os.path.join(os.path.dirname(__file__), "..", "sdl", "example.sdl"), cfg)
+    key = prng.key(3)
+
+    outs = []
+    for c in ("4", "16"):
+        monkeypatch.setenv("RAYSNAIL_REGEN_C", c)
+        sums, _ = jax.jit(
+            lambda arrays: radiance_regen_shuffle(scene, arrays, cfg, cam,
+                                                  key, cfg.effective_samples)
+        )(scene.arrays)
+        outs.append(np.asarray(sums.to_array()))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4)
