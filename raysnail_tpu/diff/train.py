@@ -71,14 +71,22 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     (params, opt_state, loss). Jitted; gradient flows through the full bounce
     loop.
 
-    accum_chunk: stratification cells per VJP pass. The L2-of-mean loss is
-    not separable across sample chunks, so the step runs TWO passes with
-    exact gradients (standard gradient accumulation, adapted to MC
-    rendering): (1) a residual-free forward computes the mean image and the
-    loss; (2) per chunk, one VJP of the chunk's image SUM against the fixed
-    cotangent dL/d(mean image) / S accumulates into the gradient. Combined
-    with cfg.remat_bounces this bounds fwd+bwd memory by one chunk's
-    per-bounce carries, so the canonical 800x500@64spp config fits a chip.
+    accum_chunk: cells per VJP; >= len(sample_ids) takes the one-shot
+    value_and_grad path, anything smaller the two-pass accumulation. The
+    L2-of-mean loss is not separable across sample chunks, so the two-pass
+    scheme keeps gradients exact: (1) a residual-free forward computes the
+    mean image and the loss; (2) a lax.scan over cells runs one VJP of each
+    cell's image against the fixed cotangent dL/d(mean image) / S and
+    accumulates the gradient in the carry. Combined with cfg.remat_bounces
+    this bounds fwd+bwd memory by ONE cell's per-bounce carries, so the
+    canonical 800x500@64spp config fits a chip (measured 18.1 Mrays/s
+    fwd+bwd, BENCH_DETAILS r3).
+
+    Per-CELL VJPs, not per-chunk: a VJP through a multi-cell sample scan
+    measured ~90x slower per ray on the TPU than the same cells as
+    independent VJPs (bench example-fwd+bwd r3: 0.067 vs 18.1 Mrays/s at
+    chunk 5 vs 1); the scan over cells keeps the traced program one body
+    regardless of spp (the unrolled 64-chunk canonical step compiled 554 s).
     """
     import optax
 
@@ -96,37 +104,35 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         # forward dispatches)
         accum_chunk = max(1, GRAD_RAY_BUDGET // (4 * n_pix))
 
-    def chunk_sums(params, key, ids):
-        """SUM image (not mean) over one chunk of cells — the VJP target."""
+    def cell_sum(params, key, sid):
+        """One cell's radiance-sum image — the per-cell VJP target."""
+        ids = sid[None]
         img = render_image_diff(scene, camera, cfg, params, key, ids)
-        return img * float(ids.shape[0])
+        return img  # sums*(1/1) == the cell's radiance
 
     @jax.jit
     def step(params, opt_state, key, sample_ids):
         s = sample_ids.shape[0]
-        chunks = [sample_ids[i:i + accum_chunk]
-                  for i in range(0, s, accum_chunk)]
-        if len(chunks) == 1:
+        if accum_chunk >= s:
             loss_fn = make_loss_fn(scene, camera, cfg, target)
             loss, grads = jax.value_and_grad(loss_fn)(params, key, sample_ids)
         else:
-            # pass 1: mean image, no residuals
-            total = None
-            for ids in chunks:
-                cs = jax.lax.stop_gradient(chunk_sums(params, key, ids))
-                total = cs if total is None else total + cs
-            img = total * (1.0 / s)
+            # pass 1: mean image through the forward sample scan, no residuals
+            img = jax.lax.stop_gradient(render_image_diff(
+                scene, camera, cfg, params, key, sample_ids))
             d = img - target_flat
             loss = 0.5 * jnp.mean(d.dot(d))
             # dL/d(mean image) = d / n_pix (d.dot(d) sums channels, mean is
-            # over pixels), then 1/S maps the chunk SUM to the mean image
+            # over pixels), then 1/S maps a cell's radiance to the mean image
             cot = d * (1.0 / (n_pix * s))
-            grads = None
-            for ids in chunks:
-                _, vjp = jax.vjp(lambda p: chunk_sums(p, key, ids), params)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+            def accumulate(g_acc, sid):
+                _, vjp = jax.vjp(lambda p: cell_sum(p, key, sid), params)
                 (g,) = vjp(cot)
-                grads = g if grads is None else jax.tree_util.tree_map(
-                    jnp.add, grads, g)
+                return jax.tree_util.tree_map(jnp.add, g_acc, g), None
+
+            grads, _ = jax.lax.scan(accumulate, zeros, sample_ids)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
