@@ -91,6 +91,12 @@ class RenderConfig:
     remat_bounces: bool = True   # jax.checkpoint the bounce body: backward
                                  # stores per-bounce carries only (forward-only
                                  # renders are unaffected)
+    regen_chunk_cap: int = 0     # cap on the regen-shuffle chunk width C (the
+                                 # largest divisor of spp <= cap); 0 = use the
+                                 # RAYSNAIL_REGEN_C env default (21). Part of
+                                 # the config so changing it RETRACES — the
+                                 # env var alone is captured at first trace
+                                 # (ADVICE r3).
     rng: str = "auto"            # "auto" (= fast) | "fast" (counter-hash) | "threefry"
     # fast = murmur3-fmix32 counter hash: 4x on CPU and +62% end-to-end on
     # TPU v5e (measured after dispatch batching; an earlier 10x-slower TPU

@@ -66,13 +66,15 @@ def make_loss_fn(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
 
 
 def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
-                    target, optimizer=None, accum_chunk: int | None = None):
+                    target, optimizer=None, one_shot_max: int | None = None):
     """-> (step, opt_state0, params0). step(params, opt_state, key, ids) ->
     (params, opt_state, loss). Jitted; gradient flows through the full bounce
     loop.
 
-    accum_chunk: cells per VJP; >= len(sample_ids) takes the one-shot
-    value_and_grad path, anything smaller the two-pass accumulation. The
+    one_shot_max: one-shot threshold — when len(sample_ids) <= one_shot_max
+    the step is a single value_and_grad; otherwise the two-pass scheme runs
+    one VJP PER CELL (chunk width 1 — intermediate widths measured ~90x
+    slower, see below; the old `accum_chunk` name implied they existed). The
     L2-of-mean loss is not separable across sample chunks, so the two-pass
     scheme keeps gradients exact: (1) a residual-free forward computes the
     mean image and the loss; (2) a lax.scan over cells runs one VJP of each
@@ -97,12 +99,12 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     target_flat = Vec3.from_array(jnp.asarray(target, cfg.dtype).reshape(-1, 3))
     n_pix = cfg.width * cfg.height
 
-    if accum_chunk is None:
+    if one_shot_max is None:
         # backward memory is bounded by one chunk's per-bounce residuals, so
         # the VJP budget stays FIXED (it must not scale with the forward
         # dispatch-batching knob cfg.ray_batch, which is sized for O(pixels)
         # forward dispatches)
-        accum_chunk = max(1, GRAD_RAY_BUDGET // (4 * n_pix))
+        one_shot_max = max(1, GRAD_RAY_BUDGET // (4 * n_pix))
 
     def cell_sum(params, key, sid):
         """One cell's radiance-sum image — the per-cell VJP target."""
@@ -113,7 +115,7 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
     @jax.jit
     def step(params, opt_state, key, sample_ids):
         s = sample_ids.shape[0]
-        if accum_chunk >= s:
+        if one_shot_max >= s:
             loss_fn = make_loss_fn(scene, camera, cfg, target)
             loss, grads = jax.value_and_grad(loss_fn)(params, key, sample_ids)
         else:

@@ -50,14 +50,16 @@ from raysnail_tpu.prelude.vec import Vec3
 # "force" ignores this (tests).
 SPHERE_BVH_AUTO_MIN = 4096
 
-def _slot_layout(kinds: frozenset, has_lights: bool):
+def _slot_layout(kinds: frozenset, has_lights: bool, mix_depth: int = 1):
     """Per-bounce uniform slots, allocated only for the material/light kinds
     the scene actually contains — RNG is a first-order cost, so a pure
-    Lambertian scene draws 6 uniforms per bounce instead of 17."""
+    Lambertian scene draws 6 uniforms per bounce instead of 17.
+    Nested Mixed materials draw one independent uniform per nesting level
+    (mixed_material.rs:41-50 recurses, drawing fresh randomness per level)."""
     idx = {}
     n = 0
     if matlib.MIXED in kinds:
-        idx["mix"] = n; n += 1
+        idx["mix"] = n; n += mix_depth
     if has_lights:
         idx["branch"], idx["pick"], idx["l1"], idx["l2"] = n, n + 1, n + 2, n + 3
         n += 4
@@ -123,7 +125,7 @@ def _make_shade(scene: scenelib.Scene, cfg: RenderConfig, policy: dict):
     (new_o, new_d, T, L, alive). Dead lanes keep their incoming ray state."""
     static = scene.static
     kinds = static.mat_kinds
-    slot, n_uniforms = _slot_layout(kinds, static.has_lights)
+    slot, n_uniforms = _slot_layout(kinds, static.has_lights, static.mix_depth)
 
     def shade(arrays, r: Ray, T, L, alive, kb):
         o, d = r.origin, r.direction
@@ -139,7 +141,10 @@ def _make_shade(scene: scenelib.Scene, cfg: RenderConfig, policy: dict):
         u = prng.ray_uniforms(prng.fold_all(kb, prng.SCATTER), n_uniforms)
 
         if matlib.MIXED in kinds:
-            mat_id = matlib.resolve(arrays.materials, hit.mat_id, u[slot["mix"]])
+            mat_id = matlib.resolve(
+                arrays.materials, hit.mat_id,
+                u[slot["mix"]:slot["mix"] + static.mix_depth],
+                depth=static.mix_depth)
         else:
             mat_id = jnp.where(hit.mat_id < 0, 0, hit.mat_id)
         rows = matlib.gather(arrays.materials, mat_id)
@@ -391,9 +396,11 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     # chunk width: largest divisor of spp <= the cap — wide enough that a
     # lane's chunk mixes many pixels (trip concentration), narrow enough
     # that the per-iteration one-hot add stays a few dozen fma (3C fma) and
-    # the (N, C) f32 cell tables stay small. Env knob for perf probes.
+    # the (N, C) f32 cell tables stay small. cfg.regen_chunk_cap (retraces
+    # when changed) with the env var as the default for perf probes — the
+    # env var alone is only read at first trace (ADVICE r3).
     import os
-    cap = int(os.environ.get("RAYSNAIL_REGEN_C", "21"))
+    cap = cfg.regen_chunk_cap or int(os.environ.get("RAYSNAIL_REGEN_C", "21"))
     C = max(d for d in range(1, min(spp, cap) + 1) if spp % d == 0)
     n_chunks = spp // C
     # golden-ratio stride: a lane's consecutive cells land on far-apart

@@ -71,14 +71,21 @@ class Rows(NamedTuple):
     phong_exponent: jax.Array
 
 
-def resolve(table: MaterialTable, mat_id, u_mix, default_id: int = 0):
+def resolve(table: MaterialTable, mat_id, u_mix, default_id: int = 0,
+            depth: int = 1):
     """Map -1 (no material) to the world default row and resolve MIXED rows by
-    sampling (mixed_material.rs:41-50). One level of mixing, as the reference
-    scenes use."""
+    sampling (mixed_material.rs:41-50). The reference's MixedMaterial holds two
+    `Arc<dyn Material>` that can themselves be Mixed; nesting resolves by
+    descending `depth` levels (the scene's static max nesting), each level
+    consuming its own uniform (u_mix row i) like the recursion draws fresh
+    randomness per call. u_mix: (depth, ...) — one uniform row per level."""
     m = jnp.where(mat_id < 0, default_id, mat_id)
-    is_mix = table.mtype[m] == MIXED
-    picked = jnp.where(u_mix < table.mix_prob[m], table.mix_a[m], table.mix_b[m])
-    return jnp.where(is_mix, picked, m)
+    for lvl in range(depth):
+        is_mix = table.mtype[m] == MIXED
+        u = u_mix[lvl]
+        picked = jnp.where(u < table.mix_prob[m], table.mix_a[m], table.mix_b[m])
+        m = jnp.where(is_mix, picked, m)
+    return m
 
 
 def gather(table: MaterialTable, mat_id) -> Rows:

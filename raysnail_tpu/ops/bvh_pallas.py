@@ -63,7 +63,8 @@ import os
 
 # admitted leaf blocks buffered per walk segment (env knob for perf probes)
 CHUNK = int(os.environ.get("RAYSNAIL_BVH_CHUNK", "8"))
-_NOATTR = os.environ.get("RAYSNAIL_BVH_NOATTR") == "1"  # perf probe only
+_NOATTR = os.environ.get("RAYSNAIL_BVH_NOATTR") == "1"   # perf probe only
+_NOSWEEP = os.environ.get("RAYSNAIL_BVH_NOSWEEP") == "1"  # perf probe only
 
 
 def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
@@ -93,7 +94,6 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
         vbuf, sem = scratch
     t_min = bounds[0, 0]
     t_max = bounds[0, 1]
-    sub_tri = jax.lax.broadcasted_iota(jnp.int32, (PACKET, LANES), 1)
 
     def packet(pidx, _):
         rows = rays[pl.ds(pidx, 1), :, :].reshape(8, PACKET)
@@ -125,7 +125,8 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
         eps = 1e-12
         inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < eps,
                                         jnp.where(d < 0, -eps, eps), d)
-        inv_x, inv_y, inv_z = inv(d_x), inv(d_y), inv(d_z)
+        # lane-layout only: the column-layout inverses were dead weight
+        # (3 predicated divides on (128,1) per packet, never read)
         inv_xl, inv_yl, inv_zl = inv(d_xl), inv(d_yl), inv(d_zl)
 
         def slab(x0, y0, z0, x1, y1, z1):
@@ -154,8 +155,14 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                         jnp.minimum(far0, cap_in) * 1.0001 + 1e-4, -BIG)
         start = jnp.where(jnp.max(cap) >= t_min, 0, n_nodes).astype(jnp.int32)
 
-        def sweep(m, args):
-            bt, a0, a1, a2, a3, a4 = args
+        def sweep(m, st):
+            # st: PACKED per-ray hit state (PACKET, 8) f32
+            #   [best_t, a0, a1, a2, a3, a4, pad, pad]
+            # — one (PACKET, 8) where() per sweep instead of six (PACKET, 1)
+            # column updates (each column op costs the full 16 vregs).
+            if _NOSWEEP:  # perf probe: walk + buffering cost only
+                return st
+            bt = st[:, 0:1]
             fld = lambda i: m[i:i + 1, :]                    # (1, LANES)
             if kind == "tri":
                 # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131):
@@ -200,34 +207,45 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
             rmin = jnp.min(tm, axis=1, keepdims=True)        # (PACKET, 1)
             take = rmin < bt
             if _NOATTR:  # perf probe: traversal cost without attr selection
-                # a0 counts sweeps per packet for admission diagnostics
-                z5 = (a0 + 1.0, a1, a2, a3, a4)
-                return (jnp.where(take, rmin, bt),) + z5
-            arg = jnp.min(jnp.where(tm == rmin, sub_tri, LANES), axis=1,
-                          keepdims=True)
-            sel = sub_tri == arg
+                # column 1 counts sweeps per packet (admission diagnostics)
+                return jnp.where(
+                    take,
+                    jnp.concatenate([rmin, st[:, 1:2] + 1.0, st[:, 2:]], 1),
+                    jnp.concatenate([bt, st[:, 1:2] + 1.0, st[:, 2:]], 1))
+            # winner mask without a tie-break pass: a tie needs two distinct
+            # primitives at the exact same f32 t (measure-zero; a tie would
+            # sum two attr rows for that ray) — dropping the min-lane-index
+            # reduction saved ~0.2 us/sweep
+            sel = tm == rmin
 
-            def pick(row):
-                """Winner's per-primitive field (1, LANES) -> (PACKET, 1)."""
-                return jnp.sum(jnp.where(sel, row, 0.0), axis=1, keepdims=True)
+            # winner attr extraction as ONE one-hot matmul on the MXU:
+            # sel (PACKET, LANES) x block rows (NF, LANES) contracted over
+            # lanes -> (PACKET, NF). Exact in f32 (HIGHEST = 3-way bf16
+            # split reconstructs the 24-bit mantissa; 127 of 128 products
+            # are exactly 0). Replaces ~12 masked lane reductions that
+            # measured ~0.85 us/sweep (2/3 of the sweep cost).
+            ext = jax.lax.dot_general(
+                sel.astype(jnp.float32), m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # (PACKET, NF)
 
+            z1 = jnp.zeros_like(rmin)
             if kind == "tri":
+                # beta/gamma vary per (ray, tri) so they cannot ride the
+                # static-attr matmul: two masked lane reductions remain
                 bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=1, keepdims=True)
                 gsel = jnp.sum(jnp.where(sel, gamma, 0.0), axis=1, keepdims=True)
                 w0 = 1.0 - bsel - gsel
                 # barycentric vertex-normal blend (triangle_mesh.rs:115-116)
-                nx = pick(fld(10)) * w0 + pick(fld(13)) * bsel + pick(fld(16)) * gsel
-                ny = pick(fld(11)) * w0 + pick(fld(14)) * bsel + pick(fld(17)) * gsel
-                nz = pick(fld(12)) * w0 + pick(fld(15)) * bsel + pick(fld(18)) * gsel
-                new_attrs = (nx, ny, nz, jnp.zeros_like(nx), pick(fld(19)))
+                nvec = (ext[:, 10:13] * w0 + ext[:, 13:16] * bsel
+                        + ext[:, 16:19] * gsel)              # (PACKET, 3)
+                new = jnp.concatenate(
+                    [rmin, nvec, z1, ext[:, 19:20], z1, z1], axis=1)
             else:
-                new_attrs = (pick(fld(0)), pick(fld(1)), pick(fld(2)),
-                             pick(fld(6)), pick(fld(5)))
-
-            res = [jnp.where(take, rmin, bt)]
-            for old, new in zip((a0, a1, a2, a3, a4), new_attrs):
-                res.append(jnp.where(take, new, old))
-            return tuple(res)
+                new = jnp.concatenate(
+                    [rmin, ext[:, 0:3], ext[:, 6:7], ext[:, 5:6], z1, z1],
+                    axis=1)
+            return jnp.where(take, new, st)
 
         # The walk alternates two segments: (a) a node walk that pushes
         # admitted leaf blocks into SMEM (predicated store — much cheaper
@@ -255,10 +273,10 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
             return node, nbuf, btc
 
         def outer(state):
-            node, bt, a0, a1, a2, a3, a4 = state
+            node, st = state
             # best-so-far into lane layout once per segment (the walk prunes
-            # against it); the sweep keeps updating the column-layout bt
-            btc = jnp.minimum(jnp.transpose(bt, (1, 0)), cap)
+            # against it); the sweep keeps updating the column-layout best_t
+            btc = jnp.minimum(jnp.transpose(st[:, 0:1], (1, 0)), cap)
             node, nbuf, _ = jax.lax.while_loop(
                 lambda s: (s[0] < n_nodes) & (s[1] < CHUNK), walk_seg,
                 (node, jnp.asarray(0, jnp.int32), btc))
@@ -275,30 +293,29 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
 
                 jax.lax.fori_loop(0, nbuf, issue, 0)
 
-                def sweep_j(j, args):
+                def sweep_j(j, st):
                     copy(j).wait()
                     m = vbuf[pl.ds(j, 1), :, :].reshape(vbuf.shape[1], LANES)
-                    return sweep(m, args)
+                    return sweep(m, st)
             else:
-                def sweep_j(j, args):
+                def sweep_j(j, st):
                     m = prim[pl.ds(buf[j], 1), :, :].reshape(
                         prim.shape[1], LANES)
-                    return sweep(m, args)
+                    return sweep(m, st)
 
-            bt, a0, a1, a2, a3, a4 = jax.lax.fori_loop(
-                0, nbuf, sweep_j, (bt, a0, a1, a2, a3, a4))
-            return node, bt, a0, a1, a2, a3, a4
+            st = jax.lax.fori_loop(0, nbuf, sweep_j, st)
+            return node, st
 
-        z = jnp.zeros((PACKET, 1), jnp.float32)
-        init = (start, jnp.full((PACKET, 1), BIG, jnp.float32), z, z, z, z, z)
-        _, bt, a0, a1, a2, a3, a4 = jax.lax.while_loop(
-            lambda s: s[0] < n_nodes, outer, init)
+        st0 = jnp.concatenate(
+            [jnp.full((PACKET, 1), BIG, jnp.float32),
+             jnp.zeros((PACKET, 7), jnp.float32)], axis=1)
+        _, st = jax.lax.while_loop(
+            lambda s: s[0] < n_nodes, outer, (start, st0))
 
         # dead lanes are swept alongside live ones (the leaf test is
         # packet-wide); report them as misses
-        bt = jnp.where(t_cap > 0.0, bt, BIG)
-        packed = jnp.concatenate([bt, a0, a1, a2, a3, a4, z, z], axis=1)
-        out[pl.ds(pidx, 1), :, :] = jnp.transpose(packed, (1, 0)).reshape(
+        st = jnp.where(t_cap > 0.0, st, st0)
+        out[pl.ds(pidx, 1), :, :] = jnp.transpose(st, (1, 0)).reshape(
             1, 8, PACKET)
         return 0
 

@@ -67,6 +67,7 @@ class SceneStatic:
     sphere_chunk: int = 512
     tri_brute: bool = False   # dense sweep instead of BVH walk (small meshes)
     has_absorb: bool = False  # any dielectric with Beer-Lambert absorption
+    mix_depth: int = 1        # max Mixed-material nesting (resolve iterations)
 
 
 @dataclasses.dataclass
@@ -213,6 +214,10 @@ class _Tables:
         self.images: list = []
         self.perlins: list = []
         self.deep_checker = False  # some checker has non-constant children
+        self.checker_depth = 0     # max checker nesting (1 = plain checker)
+        self._row_depth: list = [] # per-row checker nesting depth
+        self.mix_depth = 1         # max Mixed-material nesting
+        self._mat_depth: list = [] # per-row Mixed nesting depth
         # row 0: the world default white Lambertian (world.rs:25-60)
         self.material(ir.Lambertian(ir.Constant((1.0, 1.0, 1.0))))
 
@@ -227,14 +232,16 @@ class _Tables:
             row["color1"] = spec.rgb
         elif isinstance(spec, ir.Checker):
             # generic over child textures like the reference's Checker<T1,T2>
-            # (checker.rs:8-28); children register as their own table rows and
-            # the cell sign picks between them at eval. One nesting level.
+            # (checker.rs:8-28), INCLUDING checker-of-checker: children
+            # register as their own table rows and evaluation descends the
+            # static max nesting depth, re-deriving the cell sign with each
+            # level's own scale (textures.evaluate).
             odd, even = ir.as_texture(spec.odd), ir.as_texture(spec.even)
-            if isinstance(odd, ir.Checker) or isinstance(even, ir.Checker):
-                raise NotImplementedError(
-                    "checker-of-checker nesting is unsupported (one level)")
+            c1, c2 = self.texture(odd), self.texture(even)
             row.update(ttype=texlib.CHECKER, scale=spec.scale,
-                       child1=self.texture(odd), child2=self.texture(even))
+                       child1=c1, child2=c2)
+            row["_depth"] = 1 + max(self._row_depth[c1], self._row_depth[c2])
+            self.checker_depth = max(self.checker_depth, row["_depth"])
             if isinstance(odd, ir.Constant) and isinstance(even, ir.Constant):
                 # fast path: constant cells read color1/color2 directly
                 row.update(color1=odd.rgb, color2=even.rgb)
@@ -254,6 +261,7 @@ class _Tables:
         else:
             raise TypeError(f"unknown texture {spec!r}")
         idx = len(self.tex_rows)
+        self._row_depth.append(row.pop("_depth", 0))
         self.tex_rows.append(row)
         self.tex_index[spec] = idx
         return idx
@@ -290,12 +298,18 @@ class _Tables:
         elif isinstance(spec, ir.Isotropic):
             row.update(mtype=matlib.ISOTROPIC, tex_id=self.texture(ir.Constant(spec.rgb)))
         elif isinstance(spec, ir.Mixed):
+            # nests like the reference's Arc<dyn Material> pair
+            # (mixed_material.rs:15-23): children register as their own rows;
+            # resolve() iterates the scene's static max nesting depth
             a = self.material(spec.material_1)
             b = self.material(spec.material_2)
             row.update(mtype=matlib.MIXED, mix_prob=spec.probability_1, mix_a=a, mix_b=b)
+            row["_depth"] = 1 + max(self._mat_depth[a], self._mat_depth[b])
+            self.mix_depth = max(self.mix_depth, row["_depth"])
         else:
             raise TypeError(f"unknown material {spec!r}")
         idx = len(self.mat_rows)
+        self._mat_depth.append(row.pop("_depth", 0))
         self.mat_rows.append(row)
         self.mat_index[spec] = idx
         return idx
@@ -518,8 +532,10 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
     # tables -> arrays
     tr = tables.tex_rows
     tex_modes = frozenset(r["ttype"] for r in tr)
-    if tables.deep_checker:
-        tex_modes = tex_modes | {texlib.CHECKER_DEEP}
+    if tables.deep_checker or tables.checker_depth > 1:
+        # static descent depth for nested / non-constant checkers
+        tex_modes = tex_modes | {texlib.CHECKER_DEEP,
+                                 ("checker_depth", tables.checker_depth)}
     atlas = atlas_wh = None
     if tables.images:
         mh = max(i.shape[0] for i in tables.images)
@@ -587,6 +603,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         n_csg=len(csg_trees),
         tri_brute=tri_brute,
         has_absorb=has_absorb,
+        mix_depth=tables.mix_depth,
     )
     return Scene(arrays=arrays, static=static, csg_trees=tuple(csg_trees),
                  media=tuple(media_nodes), mandelbulbs=tuple(bulbs))

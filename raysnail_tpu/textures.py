@@ -187,20 +187,30 @@ def evaluate(table: TextureTable, tex_id, u, v, p: Vec3, modes: frozenset) -> Ve
 
     `modes` is the static set of texture types present in the scene; absent
     modes are not computed at all. CHECKER_DEEP in `modes` means some checker
-    has non-constant children: the cell sign then picks a CHILD texture row,
-    evaluated through the same non-checker table pass (one level of nesting —
-    a checker-of-checkers raises at scene compile)."""
+    has non-constant children (possibly other checkers, matching the
+    reference's fully generic Checker<T1, T2>, checker.rs:8-28): evaluation
+    then DESCENDS the checker tree — each level re-derives the cell sign
+    with that row's own scale and follows child1/child2 — for the scene's
+    static max nesting depth (the ("checker_depth", d) entry in modes),
+    landing on a non-checker row evaluated by the shared base pass."""
     tid = jnp.maximum(tex_id, 0)
     out = _eval_base(table, tid, u, v, p, modes)
 
     if CHECKER in modes:
         tt = _take(table.ttype, tid)
-        odd = _checker_sign(table, tid, p)
         if CHECKER_DEEP in modes:
-            c1 = jnp.maximum(_take(table.child1, tid), 0)
-            c2 = jnp.maximum(_take(table.child2, tid), 0)
-            cval = _eval_base(table, jnp.where(odd, c1, c2), u, v, p, modes)
+            depth = next(m[1] for m in modes
+                         if isinstance(m, tuple) and m[0] == "checker_depth")
+            leaf = tid
+            for _ in range(max(depth, 1)):
+                is_ck = _take(table.ttype, leaf) == CHECKER
+                odd = _checker_sign(table, leaf, p)
+                c1 = jnp.maximum(_take(table.child1, leaf), 0)
+                c2 = jnp.maximum(_take(table.child2, leaf), 0)
+                leaf = jnp.where(is_ck, jnp.where(odd, c1, c2), leaf)
+            cval = _eval_base(table, leaf, u, v, p, modes)
         else:
+            odd = _checker_sign(table, tid, p)
             cval = Vec3.where(odd, _gather_color(table.color1, tid),
                               _gather_color(table.color2, tid))
         out = Vec3.where(tt == CHECKER, cval, out)

@@ -64,12 +64,14 @@ def main():
                               ray.direction.x, ray.direction.y, ray.direction.z)]
     fields += [jnp.full(npk, 1e30, jnp.float32), jnp.zeros(npk, jnp.float32)]
     rays = jnp.swapaxes(jnp.stack(fields).reshape(8, -1, PACKET), 0, 1)
-    m_nodes = g.pk_bb.shape[0]
+    pk_bb = np.asarray(g.pk_bb)[0]        # octant-0 node order, (M, 8)
+    pk_links = np.asarray(g.pk_links)[0]  # (M, 4)
+    m_nodes = pk_bb.shape[0]
     print(f"nodes={m_nodes} blocks={g.pk_tri.shape[0]} rays={n}", flush=True)
 
     blk_spec = pl.BlockSpec((GROUP, 8, PACKET), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    smem = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+    smem = lambda arr: pl.BlockSpec(arr.shape, lambda i, _nd=arr.ndim: (0,) * _nd,
                                     memory_space=pltpu.SMEM)
     common = dict(
         grid=(npk // (GROUP * PACKET),),
@@ -80,7 +82,7 @@ def main():
 
     def make(kernel):
         call = pl.pallas_call(
-            kernel, in_specs=[blk_spec, smem(g.pk_bb), smem(g.pk_links)],
+            kernel, in_specs=[blk_spec, smem(pk_bb), smem(pk_links)],
             **common)
 
         @jax.jit
@@ -172,10 +174,122 @@ def main():
                                      jnp.zeros((PACKET, GROUP), jnp.float32)))
         out[0:1, :, :] = jnp.transpose(acc, (1, 0)).reshape(1, 8, PACKET)
 
+    # C: lane-layout walk (1,128) — the real kernel's slab orientation,
+    # cap admission test, flat SMEM indexing — but NO buf store / nbuf
+    bb_flat = pk_bb.reshape(-1)
+    links_flat = pk_links.reshape(-1)
+    smemf = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                     memory_space=pltpu.SMEM)
+
+    def make_flat(kernel, scratch=()):
+        call = pl.pallas_call(
+            kernel, in_specs=[blk_spec, smemf(bb_flat), smemf(links_flat)],
+            scratch_shapes=list(scratch), **common)
+
+        @jax.jit
+        def run(rays, bb, links):
+            def body(c, _):
+                o = call(rays, bb, links)
+                return c + o[0, 0, 0] * 1e-30, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=REPS)
+            return c
+        return run
+
+    def lane_prologue(rays, pidx):
+        rows = rays[pl.ds(pidx, 1), :, :].reshape(8, PACKET)
+        o_xl, o_yl, o_zl = rows[0:1, :], rows[1:2, :], rows[2:3, :]
+        d_xl, d_yl, d_zl = rows[3:4, :], rows[4:5, :], rows[5:6, :]
+        inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                                        jnp.where(d < 0, -1e-12, 1e-12), d)
+        ivx, ivy, ivz = inv(d_xl), inv(d_yl), inv(d_zl)
+
+        def slab(x0, y0, z0, x1, y1, z1):
+            ax0 = (x0 - o_xl) * ivx
+            ax1 = (x1 - o_xl) * ivx
+            ay0 = (y0 - o_yl) * ivy
+            ay1 = (y1 - o_yl) * ivy
+            az0 = (z0 - o_zl) * ivz
+            az1 = (z1 - o_zl) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(ax0, ax1),
+                                           jnp.minimum(ay0, ay1)),
+                               jnp.minimum(az0, az1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(ax0, ax1),
+                                          jnp.maximum(ay0, ay1)),
+                              jnp.maximum(az0, az1))
+            return near, far
+        return slab
+
+    def walk_lane(rays, bb, links, out):
+        def packet(pidx, acc):
+            slab = lane_prologue(rays, pidx)
+            btc = jnp.full((1, PACKET), 1e30, jnp.float32)
+
+            def walk(state):
+                node, acc = state
+                nb = node * 8
+                nl = node * 4
+                near, far = slab(bb[nb], bb[nb + 1], bb[nb + 2],
+                                 bb[nb + 3], bb[nb + 4], bb[nb + 5])
+                admit = (near <= far) & (far >= 1e-3) & (near <= btc)
+                any_hit = jnp.any(admit)
+                is_leaf = links[nl + 1] > 0
+                node = jnp.where(any_hit & (~is_leaf), node + 1, links[nl + 2])
+                return node, acc + jnp.sum(near) * 1e-20
+
+            _, acc = jax.lax.while_loop(lambda s: s[0] < m_nodes, walk,
+                                        (jnp.asarray(0, jnp.int32), acc))
+            return acc
+
+        acc = jax.lax.fori_loop(0, GROUP, packet,
+                                jnp.zeros((1, PACKET), jnp.float32))
+        acc8 = jnp.concatenate([acc] * 8, axis=0)          # (8, PACKET)
+        out[0:1, :, :] = acc8.reshape(1, 8, PACKET)
+
+    # D: C + the real kernel's buf store / nbuf / compound while condition
+    def walk_lane_buf(rays, bb, links, out, buf):
+        def packet(pidx, acc):
+            slab = lane_prologue(rays, pidx)
+            btc = jnp.full((1, PACKET), 1e30, jnp.float32)
+
+            def walk(state):
+                node, nbuf, acc = state
+                nb = node * 8
+                nl = node * 4
+                near, far = slab(bb[nb], bb[nb + 1], bb[nb + 2],
+                                 bb[nb + 3], bb[nb + 4], bb[nb + 5])
+                admit = (near <= far) & (far >= 1e-3) & (near <= btc)
+                any_hit = jnp.any(admit)
+                is_leaf = links[nl + 1] > 0
+                take = any_hit & is_leaf
+                buf[nbuf] = links[nl]
+                nbuf = jnp.where(take, nbuf + 1, nbuf)
+                node = jnp.where(any_hit & (~is_leaf), node + 1, links[nl + 2])
+                return node, nbuf, acc + jnp.sum(near) * 1e-20
+
+            def outer(state):
+                node, acc = state
+                node, nbuf, acc = jax.lax.while_loop(
+                    lambda s: (s[0] < m_nodes) & (s[1] < 8), walk,
+                    (node, jnp.asarray(0, jnp.int32), acc))
+                return node, acc
+
+            _, acc = jax.lax.while_loop(lambda s: s[0] < m_nodes, outer,
+                                        (jnp.asarray(0, jnp.int32), acc))
+            return acc
+
+        acc = jax.lax.fori_loop(0, GROUP, packet,
+                                jnp.zeros((1, PACKET), jnp.float32))
+        acc8 = jnp.concatenate([acc] * 8, axis=0)
+        out[0:1, :, :] = acc8.reshape(1, 8, PACKET)
+
     run_a = make(walk_narrow)
     run_b = make(walk_wide)
-    bench(run_a, rays, g.pk_bb, g.pk_links, label="walk narrow (128/pkt)", n=n)
-    bench(run_b, rays, g.pk_bb, g.pk_links, label="walk wide  (1024/pkt)", n=n)
+    run_c = make_flat(walk_lane)
+    run_d = make_flat(walk_lane_buf, scratch=(pltpu.SMEM((8,), jnp.int32),))
+    bench(run_a, rays, pk_bb, pk_links, label="A col walk (128/pkt)", n=n)
+    bench(run_b, rays, pk_bb, pk_links, label="B col walk (1024/pkt)", n=n)
+    bench(run_c, rays, bb_flat, links_flat, label="C lane walk + cap", n=n)
+    bench(run_d, rays, bb_flat, links_flat, label="D lane walk + buf/seg", n=n)
 
 
 if __name__ == "__main__":

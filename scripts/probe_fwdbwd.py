@@ -4,8 +4,8 @@
 TPU-side). Times, at the bench 400x250@16spp config:
   1. forward-only chunk_sums (pass 1 of the two-pass scheme),
   2. one chunk VJP,
-  3. the full two-pass step (auto chunking),
-  4. the single-chunk value_and_grad step (accum_chunk=spp),
+  3. the full two-pass step (per-cell VJP accumulation),
+  4. the single-chunk value_and_grad step (one_shot_max=spp),
   5. (4) with remat_bounces off.
 """
 import os
@@ -65,17 +65,17 @@ def main():
         return l
     timed("vjp chunk=5", lambda: float(vjp5(params, key)))
 
-    # 3. full two-pass step (bench configuration)
+    # 3. full two-pass step (bench configuration; one VJP per cell)
     step, opt, p0 = make_train_step(scene, cam, cfg, target)
     state = [p0, opt]
     def run3():
         p, o, l = step(state[0], state[1], key, ids)
         state[0], state[1] = p, o
         return float(l)
-    timed("two-pass step (auto chunk=5)", run3)
+    timed("two-pass step (per-cell VJPs)", run3)
 
     # 4. single-chunk value_and_grad
-    step1, opt1, p1 = make_train_step(scene, cam, cfg, target, accum_chunk=16)
+    step1, opt1, p1 = make_train_step(scene, cam, cfg, target, one_shot_max=16)
     state1 = [p1, opt1]
     def run1():
         p, o, l = step1(state1[0], state1[1], key, ids)
@@ -87,7 +87,7 @@ def main():
     cfg_nr = cfg.replace(remat_bounces=False)
     scene_nr, cam_nr = build_scene(os.path.join(REPO, "sdl", "example.sdl"), cfg_nr)
     step2, opt2, p2 = make_train_step(scene_nr, cam_nr, cfg_nr, target,
-                                      accum_chunk=16)
+                                      one_shot_max=16)
     state2 = [p2, opt2]
     def run2():
         p, o, l = step2(state2[0], state2[1], key, ids)

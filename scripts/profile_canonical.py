@@ -26,10 +26,20 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# v5e nominals (public): 197 TFLOP/s bf16 MXU, ~0.9 TFLOP/s-class f32 VPU
-# (8x128 lanes * ~4 ALUs * 940 MHz), 16 GB HBM @ 819 GB/s
+# v5e nominals (public): 197 TFLOP/s bf16 MXU, ~3.9 TFLOP/s f32 VPU
+# (1024 lanes * 4 ALUs * 0.94 GHz), 16 GB HBM @ 819 GB/s
 V5E_HBM_GBS = 819.0
 V5E_VPU_GFLOPS = 3850.0  # 4 ALUs * 1024 lanes * 0.94 GHz, f32 elementwise
+
+
+def regen_chunks(spp: int) -> int:
+    """EXACTLY the chunk rule in integrator.radiance_regen_shuffle: C is the
+    largest divisor of spp <= the RAYSNAIL_REGEN_C cap; the scan runs
+    spp // C chunk iterations (ADVICE r3: the previous approximation here
+    inflated per-iteration flops ~33% at spp=64)."""
+    cap = int(os.environ.get("RAYSNAIL_REGEN_C", "21"))
+    c = max(d for d in range(1, min(spp, cap) + 1) if spp % d == 0)
+    return spp // c
 
 
 def main():
@@ -76,7 +86,7 @@ def main():
     # `trips` iterations total (across its chunk scan), so total work is
     # approximately body cost x trips. n_chunks scan iterations share the
     # counted body, so divide by n_chunks for the per-iteration body.
-    n_chunks = trips and max(1, spp // max(1, min(spp, 21)))
+    n_chunks = regen_chunks(spp) if trips else 1
     flops_iter = flops / max(n_chunks, 1)
     total_flops = flops_iter * trips
     total_bytes = bytes_ / max(n_chunks, 1) * trips

@@ -161,9 +161,9 @@ def test_accumulated_grads_match_one_shot():
     key = prng.key(3)
 
     step1, os1, p1 = make_train_step(scene, cam, CFG, target, optimizer=opt,
-                                     accum_chunk=CFG.effective_samples)
+                                     one_shot_max=CFG.effective_samples)
     stepN, osN, pN = make_train_step(scene, cam, CFG, target, optimizer=opt,
-                                     accum_chunk=4)
+                                     one_shot_max=4)
     p1b, _, l1 = step1(p1, os1, key, ids)
     pNb, _, lN = stepN(pN, osN, key, ids)
     np.testing.assert_allclose(float(l1), float(lN), rtol=1e-5)
