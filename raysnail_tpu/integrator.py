@@ -365,9 +365,11 @@ def radiance_regen(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
 
 def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
-                           cfg: RenderConfig, camera, key, spp: int):
+                           cfg: RenderConfig, camera, key, spp: int, s0=0):
     """Full-frame path regeneration with cross-pixel cell SHUFFLING:
-    row-major radiance sums over all spp stratification cells.
+    row-major radiance sums over stratification cells [s0, s0 + spp) —
+    s0 may be a traced scalar, so a shard_map'd caller can hand each device
+    its own cell range (parallel.make_sharded_frame_step).
 
     Plain per-pixel regeneration barely reduces the while_loop trip count
     (480 vs 512 on example.sdl): one worst-case pixel whose paths always run
@@ -470,7 +472,7 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                                  jnp.roll(tz[:, k], shift))
         return (L_pix, it), None
 
-    cs0s = jnp.arange(n_chunks, dtype=jnp.int32) * C
+    cs0s = jnp.asarray(s0, jnp.int32) + jnp.arange(n_chunks, dtype=jnp.int32) * C
     (L_pix, it), _ = jax.lax.scan(
         chunk, (Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)), cs0s)
     return L_pix, it

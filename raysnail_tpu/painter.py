@@ -68,13 +68,19 @@ class RenderSession:
     reference wired up but never polled, painter.rs:28-32)."""
 
     def __init__(self, scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
-                 seed: int = 0, checkpoint_path: Optional[str] = None):
+                 seed: int = 0, checkpoint_path: Optional[str] = None,
+                 step=None, k_multiple: int = 1):
+        """`step` overrides the jitted single-device sample step — pass a
+        sharded step (parallel.make_padded_sharded_step) with k_multiple =
+        the mesh's sample-axis size to stream and checkpoint a render
+        running on a device mesh."""
         self.scene = scene
         self.camera = camera
         self.cfg = cfg
         self.seed = seed
         self.checkpoint_path = checkpoint_path
-        self.step = renderlib.make_sample_step(scene, cfg)
+        self.step = step if step is not None else renderlib.make_sample_step(scene, cfg)
+        self.k_multiple = k_multiple
         self.px, self.py, self._inv = renderlib._tile_grid(cfg)
         self.rays_traced = 0
         self.wall_seconds = 0.0
@@ -88,7 +94,7 @@ class RenderSession:
         # cap dispatch size so streaming callbacks / checkpoints still fire
         # at a useful cadence even though the plain renderer now batches the
         # whole frame into one dispatch
-        k = renderlib._sample_chunks(cfg, n_pix,
+        k = renderlib._sample_chunks(cfg, n_pix, self.k_multiple,
                                      budget=min(cfg.ray_batch, 1 << 21))
 
         if resume is not None:

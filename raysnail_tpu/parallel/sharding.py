@@ -80,6 +80,48 @@ def make_padded_sharded_step(scene: scenelib.Scene, cfg: RenderConfig,
     return step
 
 
+def make_sharded_frame_step(scene: scenelib.Scene, cfg: RenderConfig,
+                            mesh: Mesh):
+    """Sharded FULL-FRAME step through the shuffled path-REGENERATION
+    integrator: step(arrays, camera, key) -> (W*H,) Vec3 row-major radiance
+    sums over all effective spp. The stratification-cell range is split
+    evenly over EVERY device in the mesh (both axes flattened): device i
+    renders cells [i*k, (i+1)*k) for the whole frame, partial sums combine
+    with one psum. Cell draws stay keyed by (seed, pixel, sample, bounce),
+    so the result matches the single-device frame step modulo f32 summation
+    order. Returns None when the regen shuffle path doesn't apply (mirrors
+    render.make_frame_step) or spp doesn't divide by the device count."""
+    from raysnail_tpu import integrator
+
+    backend = "fast" if cfg.rng == "auto" else cfg.rng
+    if backend != "fast" or cfg.path_regen == "never" or cfg.wavefront_sort:
+        return None
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.size
+    spp = cfg.effective_samples
+    if spp % n_dev:
+        return None
+    local_spp = spp // n_dev
+    s0s = jnp.arange(n_dev, dtype=jnp.int32) * local_spp
+
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axes)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def step_inner(arrays, camera, key, s0):
+        sums, _ = integrator.radiance_regen_shuffle(
+            scene, arrays, cfg, camera, key, local_spp, s0=s0[0])
+        return _psum_tree(sums, axes)
+
+    def step(arrays, camera, key):
+        return step_inner(arrays, camera, key, s0s)
+
+    return step
+
+
 def render_sharded(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                    mesh: Mesh, seed: int = 0, arrays=None):
     """Full-frame sharded render -> (H, W, 3) float32 display image.

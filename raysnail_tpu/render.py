@@ -243,17 +243,20 @@ def calc_noise(img: np.ndarray, compat_bug: bool = False) -> np.ndarray:
 def render_passes(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                   seed: int = 0, arrays=None,
                   progress: Optional[Callable] = None,
-                  step=None, k_multiple: int = 1) -> np.ndarray:
+                  step=None, k_multiple: int = 1,
+                  frame_step=None) -> np.ndarray:
     """Multi-pass render with adaptive oversampling (raysnail.rs:379-427):
     pass k re-renders flagged pixels and running-averages display colors
     (old*k + new)/(k+1).
 
     `step` may be a sharded sample step (parallel.make_padded_sharded_step)
     with `k_multiple` = the mesh's sample-axis size, so adaptive passes run
-    on the device mesh too."""
+    on the device mesh too; `frame_step` likewise overrides the full first
+    pass (parallel.make_sharded_frame_step keeps it on the REGEN path)."""
     spp = cfg.effective_samples
-    frame = (make_frame_step(scene, cfg)
-             if step is None and k_multiple == 1 else None)
+    frame = frame_step if frame_step is not None else (
+        make_frame_step(scene, cfg)
+        if step is None and k_multiple == 1 else None)
     step = step or make_sample_step(scene, cfg)
     px_full, py_full = _full_grid(cfg)
     px_t, py_t, inv = _tile_grid(cfg)

@@ -109,3 +109,55 @@ def test_adaptive_passes_shard_invariant():
     img_sharded = render_passes(scene, cam, cfg, seed=1, step=step,
                                 k_multiple=mesh.shape["sample"])
     np.testing.assert_allclose(img_sharded, img_single, atol=2e-5)
+
+
+def test_sharded_frame_step_matches_single_device():
+    """The sharded REGEN frame step (cells split over all 8 devices, one
+    psum) must match the single-device regen frame step to f32 reduction
+    order."""
+    from raysnail_tpu.parallel import make_sharded_frame_step
+    from raysnail_tpu.prelude import rng as prng
+    from raysnail_tpu.render import make_frame_step
+
+    scene, cam = scene_and_cam()
+    cfg = CFG.replace(samples=16)  # 16 cells over 8 devices -> 2 each
+    single = make_frame_step(scene, cfg)
+    assert single is not None
+    mesh = make_mesh(devices=jax.devices())
+    sharded = make_sharded_frame_step(scene, cfg, mesh)
+    assert sharded is not None
+
+    key = prng.key(5)
+    a = single(scene.arrays, cam, key)
+    b = sharded(scene.arrays, cam, key)
+    np.testing.assert_allclose(np.asarray(a.to_array()),
+                               np.asarray(b.to_array()), atol=3e-5)
+
+
+def test_sharded_checkpoint_resume_exact():
+    """Checkpoint mid-render under shard_map, resume in a new session, and
+    require exact agreement with an uninterrupted sharded render."""
+    import os
+    import tempfile
+
+    from raysnail_tpu.painter import RenderSession, RenderState
+    from raysnail_tpu.parallel import make_padded_sharded_step
+
+    scene, cam = scene_and_cam()
+    cfg = CFG.replace(samples=9, ray_batch=1 << 9)
+    mesh = make_mesh(devices=jax.devices())
+    step = make_padded_sharded_step(scene, cfg, mesh)
+    km = mesh.shape["sample"]
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="raysnail_test_"), "st.npz")
+
+    s1 = RenderSession(scene, cam, cfg, seed=3, checkpoint_path=ckpt,
+                       step=step, k_multiple=km)
+    s1.render(target=lambda done, total, img: False)
+    state = RenderState.load(ckpt)
+    assert 0 < state.samples_done < cfg.effective_samples
+
+    resumed = RenderSession(scene, cam, cfg, seed=3, step=step,
+                            k_multiple=km).render(resume=state)
+    full = RenderSession(scene, cam, cfg, seed=3, step=step,
+                         k_multiple=km).render()
+    np.testing.assert_allclose(resumed, full, atol=1e-6)
