@@ -73,6 +73,11 @@ class RenderConfig:
                                  # v4 BVH traversal kernel: "auto" (on for
                                  # accelerators) | "never" | "force" (interpret
                                  # off-TPU, for tests)
+    box_bvh: str = "auto"        # large axis-aligned box groups (>= 130, e.g.
+                                 # book2's 400-box ground) through the packed
+                                 # traversal kernel's "box" leaf kind: "auto"
+                                 # (on for accelerators) | "never" | "force"
+                                 # (interpret off-TPU, for tests)
     path_regen: str = "auto"     # path-regeneration bounce loop ("auto" = on
                                  # for forward renders with the fast RNG):
                                  # a dead lane immediately starts its pixel's

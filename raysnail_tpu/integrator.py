@@ -107,6 +107,13 @@ def _pallas_policy(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         cfg.sphere_bvh == "auto" and not on_cpu
         and n_spheres >= SPHERE_BVH_AUTO_MIN
     )
+    # box groups get a packed BVH only when large enough (scene compile
+    # gates the build at BOX_BVH_MIN_BUILD); "auto" then routes them
+    # through the kernel on accelerators
+    has_box_pk = arrays.boxes is not None and arrays.boxes.pk_bb is not None
+    box_pallas = has_box_pk and (
+        cfg.box_bvh == "force" or (cfg.box_bvh == "auto" and not on_cpu)
+    )
     return dict(
         use_pallas=use_pallas,
         pallas_interpret=use_pallas and on_cpu,
@@ -115,6 +122,8 @@ def _pallas_policy(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         mesh_sort=cfg.mesh_sort,
         sphere_bvh=sphere_bvh,
         sphere_bvh_interpret=sphere_bvh and on_cpu,
+        box_pallas=box_pallas,
+        box_interpret=box_pallas and on_cpu,
     )
 
 

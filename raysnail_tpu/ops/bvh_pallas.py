@@ -57,6 +57,8 @@ TILE_R = GROUP * PACKET  # rays per program (caller pads to this)
 NF_TRI = 24
 # sphere kind: 0-2 center | 3 r^2 | 4 valid | 5 material id | 6 r | 7 pad
 NF_SPH = 8
+# box kind (axis-aligned): 0-2 p_min | 3-5 p_max | 6 valid | 7 material id
+NF_BOX = 8
 
 
 import os
@@ -65,23 +67,29 @@ import os
 CHUNK = int(os.environ.get("RAYSNAIL_BVH_CHUNK", "8"))
 _NOATTR = os.environ.get("RAYSNAIL_BVH_NOATTR") == "1"   # perf probe only
 _NOSWEEP = os.environ.get("RAYSNAIL_BVH_NOSWEEP") == "1"  # perf probe only
+WIN = 8  # nodes tested per walk iteration (sublane-aligned VMEM window)
 
 
-def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
+def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
             n_orders: int, kind: str, stream: bool):
     """Refs:
       rays:  (GROUP, 8, PACKET) f32 — packed ray rows per packet:
              [ox oy oz dx dy dz t_cap pad]; t_cap <= 0 marks a dead lane
-      bb:    (K*M*8,) f32 SMEM [min.xyz, max.xyz, pad, pad] per node — K = 8
-             direction-octant front-to-back node orders (or 1); FLAT 1-D
-             because SMEM pads a trailing dim to 128 elements (a (M, 8)
-             layout measured 16x the bytes and blew the 1 MiB SMEM)
+      bbv:   (K*M8, 8) f32 VMEM [min.xyz, max.xyz, pad, pad] per node — K = 8
+             direction-octant front-to-back node orders (or 1), M8 = nodes
+             rounded up to the WIN=8 window so every aligned (8, 8) window
+             load is in bounds. The walk tests a WINDOW of 8 consecutive
+             DFS-order nodes per iteration as one (8, 128) slab test — the
+             single-node (1, 128) test occupied 1 of 8 sublanes, so 8 nodes
+             now cost the vector work 1 used to (and one packed-bits
+             scalar transfer instead of 8 jnp.any transfers)
       links: (K*M*4,) i32 SMEM [leaf_block, count, miss, pad] per node
       prim:  (B, NF, LANES) f32 VMEM leaf blocks
       bounds: (1, 2) f32 SMEM [t_min, t_max]
       out:   (GROUP, 8, PACKET) f32 — [t a0 a1 a2 a3 a4 pad pad]:
         tri:    a0-2 = blended (unnormalized) normal, a3 = 0, a4 = mat id
         sphere: a0-2 = center, a3 = radius, a4 = mat id
+        box:    a0 = face axis, a1 = entry flag, a2-3 = face uv, a4 = mat id
 
     stream=True: `prim` lives in HBM (pl.ANY); admitted leaf blocks are
     DMA'd into a CHUNK-deep VMEM scratch ring (`vbuf`) — all of a walk
@@ -94,6 +102,9 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
         vbuf, sem = scratch
     t_min = bounds[0, 0]
     t_max = bounds[0, 1]
+    m8 = (n_nodes + WIN - 1) // WIN * WIN
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (WIN, 1), 0)
+    row_pw = (1 << row_i).astype(jnp.float32)  # bit weight per window row
 
     def packet(pidx, _):
         rows = rays[pl.ds(pidx, 1), :, :].reshape(8, PACKET)
@@ -120,17 +131,25 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                     + (jnp.sum(d_zl) < 0).astype(jnp.int32))
         else:
             oct_ = jnp.asarray(0, jnp.int32)
-        bb_base = oct_ * (n_nodes * 8)
+        bb_base = oct_ * m8
         lk_base = oct_ * (n_nodes * 4)
         eps = 1e-12
         inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < eps,
                                         jnp.where(d < 0, -eps, eps), d)
         # lane-layout only: the column-layout inverses were dead weight
-        # (3 predicated divides on (128,1) per packet, never read)
+        # (3 predicated divides on (128,1) per packet, never read) — except
+        # for the box kind, whose sweep slab-tests in column layout
         inv_xl, inv_yl, inv_zl = inv(d_xl), inv(d_yl), inv(d_zl)
+        if kind == "box":
+            ivc_x, ivc_y, ivc_z = inv(d_x), inv(d_y), inv(d_z)
 
-        def slab(x0, y0, z0, x1, y1, z1):
-            """Scalar node bounds against the lane-layout ray rows."""
+        def slab_win(base):
+            """(WIN, 128) slab test of WIN consecutive nodes (rows of an
+            aligned VMEM window) against the lane-layout ray rows — (WIN, 1)
+            node bounds broadcast over lanes, full-sublane vector work."""
+            win = bbv[pl.ds(base, WIN), :]                   # (WIN, 8)
+            x0, y0, z0 = win[:, 0:1], win[:, 1:2], win[:, 2:3]
+            x1, y1, z1 = win[:, 3:4], win[:, 4:5], win[:, 5:6]
             ax0 = (x0 - o_xl) * inv_xl
             ax1 = (x1 - o_xl) * inv_xl
             ay0 = (y0 - o_yl) * inv_yl
@@ -146,8 +165,10 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
             return near, far
 
         # per-ray admission cap: nothing past the root-box exit, the best
-        # hit of a cheaper primitive group (t_cap), or a dead lane
-        near0, far0 = slab(bb[0], bb[1], bb[2], bb[3], bb[4], bb[5])
+        # hit of a cheaper primitive group (t_cap), or a dead lane.
+        # The root is row 0 of the octant's first window.
+        near_r, far_r = slab_win(bb_base)
+        near0, far0 = near_r[0:1, :], far_r[0:1, :]
         cap_in = jnp.minimum(t_capl, t_max)
         can_hit = ((t_capl > 0.0) & (near0 <= far0) & (far0 >= t_min)
                    & (near0 <= cap_in))
@@ -186,6 +207,37 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                 ok = ((beta >= 0.0) & (beta < 1.0) & (gamma > 0.0)
                       & (beta + gamma < 1.0) & (t >= t_min) & (t <= t_max)
                       & (fld(9) > 0.0) & (t < bt))
+            elif kind == "box":
+                # slab interval per (ray, box); surface t is t_near if in
+                # range else t_far (ray started inside — box.rs:131-134)
+                tax = (fld(0) - o_x) * ivc_x
+                tbx = (fld(3) - o_x) * ivc_x
+                tay = (fld(1) - o_y) * ivc_y
+                tby = (fld(4) - o_y) * ivc_y
+                taz = (fld(2) - o_z) * ivc_z
+                tbz = (fld(5) - o_z) * ivc_z
+                lox = jnp.minimum(tax, tbx)
+                hix = jnp.maximum(tax, tbx)
+                loy = jnp.minimum(tay, tby)
+                hiy = jnp.maximum(tay, tby)
+                loz = jnp.minimum(taz, tbz)
+                hiz = jnp.maximum(taz, tbz)
+                near = jnp.maximum(jnp.maximum(lox, loy), loz)
+                far = jnp.minimum(jnp.minimum(hix, hiy), hiz)
+                okb = (near < far) & (fld(6) > 0.0)
+                near_in = okb & (t_min < near) & (near < t_max)
+                far_in = okb & (t_min < far) & (far < t_max)
+                t = jnp.where(near_in, near, far)
+                ok = (near_in | far_in) & (t < bt)
+                # entry/exit face axis (boxes.slab tie rules)
+                axis_near = jnp.where(
+                    lox >= loy, jnp.where(lox >= loz, 0.0, 2.0),
+                    jnp.where(loy >= loz, 1.0, 2.0))
+                axis_far = jnp.where(
+                    hix <= hiy, jnp.where(hix <= hiz, 0.0, 2.0),
+                    jnp.where(hiy <= hiz, 1.0, 2.0))
+                axisv = jnp.where(near_in, axis_near, axis_far)
+                nearf = near_in.astype(jnp.float32)
             else:
                 # half-b quadratic, t1-else-t2 in-range rule (sphere.rs:83-109)
                 lx = o_x - fld(0)
@@ -213,10 +265,20 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                     jnp.concatenate([rmin, st[:, 1:2] + 1.0, st[:, 2:]], 1),
                     jnp.concatenate([bt, st[:, 1:2] + 1.0, st[:, 2:]], 1))
             # winner mask without a tie-break pass: a tie needs two distinct
-            # primitives at the exact same f32 t (measure-zero; a tie would
-            # sum two attr rows for that ray) — dropping the min-lane-index
-            # reduction saved ~0.2 us/sweep
-            sel = tm == rmin
+            # primitives at the exact same f32 t (measure-zero for tri /
+            # sphere; a tie would sum two attr rows for that ray) — dropping
+            # the min-lane-index reduction saved ~0.2 us/sweep. BOXES tie
+            # structurally (a grid's shared face is one box's exit plane and
+            # its neighbor's entry plane), so the box kind keeps the
+            # tie-break.
+            if kind == "box":
+                lane_i = jax.lax.broadcasted_iota(jnp.float32,
+                                                  (PACKET, LANES), 1)
+                arg = jnp.min(jnp.where(tm == rmin, lane_i, LANES),
+                              axis=1, keepdims=True)
+                sel = lane_i == arg
+            else:
+                sel = tm == rmin
 
             # winner attr extraction as ONE one-hot matmul on the MXU:
             # sel (PACKET, LANES) x block rows (NF, LANES) contracted over
@@ -241,6 +303,26 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                         + ext[:, 16:19] * gsel)              # (PACKET, 3)
                 new = jnp.concatenate(
                     [rmin, nvec, z1, ext[:, 19:20], z1, z1], axis=1)
+            elif kind == "box":
+                # face axis / entry flag vary per (ray, box): two masked
+                # lane reductions; uv rebuilt from the winner's bounds
+                # (ext rows 0-5) + the hit point (boxes.intersect uv rule)
+                asel = jnp.sum(jnp.where(sel, axisv, 0.0), axis=1,
+                               keepdims=True)
+                nsel = jnp.sum(jnp.where(sel, nearf, 0.0), axis=1,
+                               keepdims=True)
+                ph = (jnp.concatenate([o_x, o_y, o_z], axis=1)
+                      + jnp.concatenate([d_x, d_y, d_z], axis=1) * rmin)
+                den = ext[:, 3:6] - ext[:, 0:3]
+                den = jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
+                rel = (ph - ext[:, 0:3]) / den               # (PACKET, 3)
+                r0, r1, r2 = rel[:, 0:1], rel[:, 1:2], rel[:, 2:3]
+                pick_ax = lambda a: jnp.where(a < 0.5, r0,
+                                              jnp.where(a < 1.5, r1, r2))
+                u = pick_ax(jnp.mod(asel + 1.0, 3.0))
+                v = pick_ax(jnp.mod(asel + 2.0, 3.0))
+                new = jnp.concatenate(
+                    [rmin, asel, nsel, u, v, ext[:, 7:8], z1, z1], axis=1)
             else:
                 new = jnp.concatenate(
                     [rmin, ext[:, 0:3], ext[:, 6:7], ext[:, 5:6], z1, z1],
@@ -255,22 +337,41 @@ def _kernel(rays, bb, links, prim, bounds, out, buf, *scratch, n_nodes: int,
         # between chunks, so subsequent walk segments keep pruning.
 
         def walk_seg(state):
+            # one iteration = one ALIGNED window of WIN consecutive DFS
+            # nodes: vector-test all WIN at once, pack per-node any() into
+            # the bits of ONE scalar (a single vector->scalar transfer
+            # instead of WIN jnp.any's), then resolve the skip-link
+            # transitions through the window on the scalar core —
+            # bit-identical traversal order to the one-node-per-step walk.
             node, nbuf, btc = state
-            nb = bb_base + node * 8
-            nl = lk_base + node * 4
-            near, far = slab(bb[nb], bb[nb + 1], bb[nb + 2],
-                             bb[nb + 3], bb[nb + 4], bb[nb + 5])
+            base = node // WIN * WIN
+            near, far = slab_win(bb_base + base)             # (WIN, 128)
             admit = (near <= far) & (far >= t_min) & (near <= btc)
-            any_hit = jnp.any(admit)
-            is_leaf = links[nl + 1] > 0
-            take = any_hit & is_leaf
-            # unconditional store + predicated increment: a per-node branch
-            # (pl.when) here measured ~7 us/packet of pipeline stalls; a
-            # not-taken store is simply overwritten by the next node's
-            buf[nbuf] = links[nl]
-            nbuf = jnp.where(take, nbuf + 1, nbuf)
-            node = jnp.where(any_hit & (~is_leaf), node + 1, links[nl + 2])
-            return node, nbuf, btc
+            in_rng = (base + row_i) < n_nodes
+            bits_f = jnp.max(jnp.where(admit & in_rng, row_pw, 0.0),
+                             axis=1, keepdims=True)          # (WIN, 1)
+            bits = jnp.sum(bits_f, dtype=jnp.float32).astype(jnp.int32)
+
+            def win_step(st):
+                i, nbuf = st
+                nd = base + i
+                nl = lk_base + nd * 4
+                admit_i = ((bits >> i) & 1) > 0
+                is_leaf = links[nl + 1] > 0
+                take = admit_i & is_leaf
+                # unconditional store + predicated increment: a per-node
+                # branch (pl.when) here measured ~7 us/packet of pipeline
+                # stalls; a not-taken store is overwritten by the next node
+                buf[nbuf] = links[nl]
+                nbuf = jnp.where(take, nbuf + 1, nbuf)
+                nxt = jnp.where(admit_i & (~is_leaf), nd + 1, links[nl + 2])
+                return nxt - base, nbuf
+
+            i, nbuf = jax.lax.while_loop(
+                lambda st: (st[0] < WIN) & (base + st[0] < n_nodes)
+                           & (st[1] < CHUNK),
+                win_step, (node - base, nbuf))
+            return base + i, nbuf, btc
 
         def outer(state):
             node, st = state
@@ -351,7 +452,11 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
     cap = jnp.asarray(t_cap, jnp.float32)
 
     n_orders, m = bb_packed.shape[0], bb_packed.shape[1]
-    bb_flat = bb_packed.reshape(-1)
+    # node bounds live in VMEM as (K*M8, 8) so the walk can load an aligned
+    # (WIN, 8) window per iteration; pad rows (never read in-range) to M8
+    m8 = (m + WIN - 1) // WIN * WIN
+    bbv = jnp.pad(jnp.asarray(bb_packed, jnp.float32),
+                  ((0, 0), (0, m8 - m), (0, 0))).reshape(-1, 8)
     links_flat = links_packed.reshape(-1)
     pad = jnp.zeros_like(ox)
     rays = jnp.stack([ox, oy, oz, dx, dy, dz, cap, pad])  # (8, N)
@@ -380,11 +485,13 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
                                  memory_space=pltpu.VMEM)
         scratch = [pltpu.SMEM((CHUNK,), jnp.int32)]
 
+    bbv_spec = pl.BlockSpec(bbv.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, n_nodes=m, n_orders=n_orders, kind=kind,
                           stream=stream),
         grid=(n // TILE_R,),
-        in_specs=[blk_spec, smem(bb_flat), smem(links_flat), prim_spec,
+        in_specs=[blk_spec, bbv_spec, smem(links_flat), prim_spec,
                   smem(bounds)],
         out_specs=blk_spec,
         out_shape=jax.ShapeDtypeStruct((n // PACKET, 8, PACKET), jnp.float32),
@@ -395,7 +502,7 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(rays, bb_flat, links_flat, prim_packed, bounds)
+    )(rays, bbv, links_flat, prim_packed, bounds)
 
     fields = jnp.swapaxes(out, 0, 1).reshape(8, -1)  # (8, N)
     t, a0, a1, a2, a3, a4 = (fields[i] for i in range(6))

@@ -82,11 +82,17 @@ class Scene:
         return intersect(self, self.arrays, ray, t_min, t_max, key)
 
 
+# axis-aligned box groups at least this large get a packed BVH for the
+# pallas traversal kernel (the dense slab sweep stays for small groups)
+BOX_BVH_MIN_BUILD = 130
+
+
 def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
               use_pallas: bool = False, pallas_interpret: bool = False,
               mesh_pallas: bool = False, mesh_interpret: bool = False,
               mesh_sort: bool = False, sphere_bvh: bool = False,
-              sphere_bvh_interpret: bool = False, active=None) -> Hit:
+              sphere_bvh_interpret: bool = False, box_pallas: bool = False,
+              box_interpret: bool = False, active=None) -> Hit:
     """Closest hit across all primitive groups. `arrays` is passed separately
     so a jitted caller can thread traced arrays while `scene` supplies the
     static structure. `key` is the per-ray key batch (only media draw from
@@ -107,7 +113,14 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
                               active=active),
         )
     if arrays.boxes is not None:
-        best = combine_hits(best, boxes.intersect(arrays.boxes, ray, t_min, t_max))
+        if box_pallas and arrays.boxes.pk_bb is not None:
+            # sphere hits (above) cap the traversal via t_cap
+            best = combine_hits(best, boxes.intersect_pallas(
+                arrays.boxes, ray, t_min, t_max, active=active,
+                t_cap=best.t, interpret=box_interpret))
+        else:
+            best = combine_hits(
+                best, boxes.intersect(arrays.boxes, ray, t_min, t_max))
     if arrays.rects is not None:
         best = combine_hits(best, rects.intersect(arrays.rects, ray, t_min, t_max))
     if arrays.quadrics is not None:
@@ -460,9 +473,29 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             offs = np.asarray([b[4] if b[4] is not None else np.zeros(3) for b in box_list])
             inv_rows = tuple(Vec3.from_array(f32(rots[:, i, :])) for i in range(3))
             inv_off = Vec3.from_array(f32(offs))
+        pk_bb = pk_links = pk_box = None
+        if not any_oriented and len(box_list) >= BOX_BVH_MIN_BUILD:
+            # packed BVH for the pallas traversal kernel: book2's 400-box
+            # ground (scene.rs:341-358) re-swept the dense (rays x boxes)
+            # slab test every bounce; the packet kernel sweeps only
+            # admitted 128-box leaf blocks (VERDICT r3 item 4)
+            pmin_np = np.asarray([b[0] for b in box_list], np.float64)
+            pmax_np = np.asarray([b[1] for b in box_list], np.float64)
+            ones = np.ones(len(box_list))
+            mats_np = np.asarray([b[2] for b in box_list], np.float64)
+            pk_bb, pk_links, pk_box = _pack_leaf_blocks(
+                pmin_np, pmax_np,
+                [pmin_np[:, 0], pmin_np[:, 1], pmin_np[:, 2],
+                 pmax_np[:, 0], pmax_np[:, 1], pmax_np[:, 2],
+                 ones, mats_np],
+            )
+            pk_bb = jnp.asarray(pk_bb)
+            pk_links = jnp.asarray(pk_links)
+            pk_box = jnp.asarray(pk_box)
         box_group = boxes.BoxGroup(
             p_min=Vec3.from_array(pmin), p_max=Vec3.from_array(pmax),
             mat_id=mats, active=active, inv_rows=inv_rows, inv_off=inv_off,
+            pk_bb=pk_bb, pk_links=pk_links, pk_box=pk_box,
         )
 
     rect_group = None

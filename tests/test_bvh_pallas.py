@@ -142,3 +142,88 @@ def test_hbm_leaf_streaming_matches_resident(rng_np):
                                    stream=True)
     for a, b in zip(res, strm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_box_bvh_kernel_matches_dense(rng_np):
+    """kind="box" traversal vs the dense XLA slab sweep on a book2-style
+    random-height box grid (scene.rs:341-358)."""
+    from raysnail_tpu import ir
+    from raysnail_tpu.geometry import boxes
+    from raysnail_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    mat = ir.Lambertian(ir.Constant((0.48, 0.83, 0.53)))
+    w = 1.0
+    for i in range(12):
+        for j in range(12):
+            x0, z0 = -6.0 + i * w, -6.0 + j * w
+            y1 = 0.1 + rng_np.random() * 2.0
+            b.add(ir.Box((x0, 0.0, z0), (x0 + w, y1, z0 + w), mat))
+    scene = b.compile()
+    group = scene.arrays.boxes
+    assert group.pk_bb is not None  # 144 boxes >= BOX_BVH_MIN_BUILD
+
+    n_rays = 300
+    o = rng_np.uniform(-8, 8, (n_rays, 3)).astype(np.float32)
+    o[:, 1] = rng_np.uniform(0.5, 6.0, n_rays)
+    d = rng_np.standard_normal((n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(
+        origin=Vec3.from_array(jnp.asarray(o)),
+        direction=Vec3.from_array(jnp.asarray(d)),
+        time=jnp.zeros(n_rays, jnp.float32),
+    )
+    h_ref = boxes.intersect(group, ray, TMIN, TMAX)
+    h_pk = boxes.intersect_pallas(group, ray, TMIN, TMAX, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_ref.valid), np.asarray(h_pk.valid))
+    both = np.asarray(h_ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[both], np.asarray(h_pk.t)[both], rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.normal.to_array())[both],
+        np.asarray(h_pk.normal.to_array())[both], atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.u)[both], np.asarray(h_pk.u)[both], atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.v)[both], np.asarray(h_pk.v)[both], atol=2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.mat_id)[both], np.asarray(h_pk.mat_id)[both])
+    np.testing.assert_array_equal(
+        np.asarray(h_ref.outside)[both], np.asarray(h_pk.outside)[both])
+
+
+def test_box_kernel_inside_start(rng_np):
+    """Rays starting INSIDE a box must report the exit face (box.rs:131-134)
+    through the kernel too."""
+    from raysnail_tpu import ir
+    from raysnail_tpu.geometry import boxes
+    from raysnail_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    mat = ir.Lambertian(ir.Constant((0.5, 0.5, 0.5)))
+    for i in range(12):
+        for j in range(12):
+            b.add(ir.Box((i * 2.0, 0.0, j * 2.0),
+                         (i * 2.0 + 1.5, 3.0, j * 2.0 + 1.5), mat))
+    scene = b.compile()
+    group = scene.arrays.boxes
+    n_rays = 128
+    # all rays start inside box (0, 0): origin in its interior
+    o = rng_np.uniform(0.2, 1.3, (n_rays, 3)).astype(np.float32)
+    o[:, 1] = rng_np.uniform(0.5, 2.5, n_rays)
+    d = rng_np.standard_normal((n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(
+        origin=Vec3.from_array(jnp.asarray(o)),
+        direction=Vec3.from_array(jnp.asarray(d)),
+        time=jnp.zeros(n_rays, jnp.float32),
+    )
+    h_ref = boxes.intersect(group, ray, TMIN, TMAX)
+    h_pk = boxes.intersect_pallas(group, ray, TMIN, TMAX, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_ref.valid), np.asarray(h_pk.valid))
+    both = np.asarray(h_ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.t)[both], np.asarray(h_pk.t)[both], rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(h_ref.normal.to_array())[both],
+        np.asarray(h_pk.normal.to_array())[both], atol=1e-3)
