@@ -402,7 +402,8 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     sqrt_spp = cfg.sqrt_spp
     if cfg.max_depth <= 0 or spp <= 0:
         return Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)
-    shade = _make_shade(scene, cfg, _pallas_policy(scene, arrays, cfg))
+    policy = _pallas_policy(scene, arrays, cfg)
+    shade = _make_shade(scene, cfg, policy)
 
     # chunk width: largest divisor of spp <= the cap — wide enough that a
     # lane's chunk mixes many pixels (trip concentration), narrow enough
@@ -414,18 +415,51 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     cap = cfg.regen_chunk_cap or int(os.environ.get("RAYSNAIL_REGEN_C", "21"))
     C = max(d for d in range(1, min(spp, cap) + 1) if spp % d == 0)
     n_chunks = spp // C
-    # golden-ratio stride: a lane's consecutive cells land on far-apart
-    # pixels, decorrelating their path lengths
-    S = (int(n_pix * 0.6180339887) | 1) % n_pix
+
+    # Scenes on a PACKET traversal kernel (mesh/box/sphere-BVH) need
+    # spatially COHERENT 128-lane packets: the plain golden-ratio pixel
+    # stride makes consecutive lanes far-apart pixels, which is exactly the
+    # kernel's worst case (measured 1.6 vs 14.9 Mrays/s raw traversal).
+    # There the shuffle rotates at PACKET granularity and lanes decode to
+    # 128-pixel image TILES, so every packet stays a tight frustum for all
+    # k while a lane's consecutive cells still land on far-apart packets.
+    packet_kernel = policy["mesh_pallas"] or policy["box_pallas"] or (
+        policy["sphere_bvh"] or policy["use_pallas"])
+    PKT = 128
+    tile = None
+    if packet_kernel and n_pix % PKT == 0:
+        tile = next(((tw, th) for tw, th in
+                     ((16, 8), (8, 16), (32, 4), (4, 32), (64, 2), (128, 1))
+                     if cfg.width % tw == 0 and cfg.height % th == 0), None)
+    if packet_kernel and n_pix % PKT == 0:
+        n_pkt = n_pix // PKT
+        S = ((int(n_pkt * 0.6180339887) | 1) % n_pkt) * PKT
+    else:
+        # golden-ratio stride: a lane's consecutive cells land on far-apart
+        # pixels, decorrelating their path lengths
+        S = (int(n_pix * 0.6180339887) | 1) % n_pix
     lanes = jnp.arange(n_pix, dtype=jnp.int32)
     cols = jnp.arange(C, dtype=jnp.int32)
 
+    def lane_pixel(k):
+        """Rotated lane slot -> (pixel id, px, py); pure arithmetic (no
+        gathers inside the while body)."""
+        m = (lanes + k * S) % n_pix
+        if tile is None:
+            p = m
+        else:
+            tw, th = tile
+            tiles_x = cfg.width // tw
+            tid, within = m // PKT, m % PKT
+            px_i = (tid % tiles_x) * tw + within % tw
+            py_i = (tid // tiles_x) * th + within // tw
+            p = py_i * cfg.width + px_i
+        return p, (p % cfg.width).astype(dtype), (p // cfg.width).astype(dtype)
+
     def new_ray(k, cs0):
-        p = (lanes + k * S) % n_pix
+        p, px, py = lane_pixel(k)
         sid = cs0 + k
         keys_s = prng.fold_all(prng.fast_streams(key, p), sid)
-        px = (p % cfg.width).astype(dtype)
-        py = (p // cfg.width).astype(dtype)
         s_i = (sid % sqrt_spp).astype(dtype)
         s_j = (sid // sqrt_spp).astype(dtype)
         r = generate_rays(camera, px, py, s_i, s_j, sqrt_spp,
@@ -448,7 +482,7 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
         def body(st):
             k, b, o, d, time, T, tx, ty, tz, alive, it = st
-            p = (lanes + k * S) % n_pix
+            p, _, _ = lane_pixel(k)
             keys_s = prng.fold_all(prng.fast_streams(key, p), cs0 + k)
             kb = prng.fold_all(keys_s, b)
             o, d, T, L_add, alive2 = shade(
@@ -473,7 +507,8 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
         out = jax.lax.while_loop(cond, body, st0)
         tx, ty, tz, it = out[6], out[7], out[8], out[10]
-        # regroup: column k's row i is pixel (i + k*S) mod N -> roll forward
+        # regroup: column k's row i is lane slot (i + k*S) mod N -> roll
+        # forward (slot == pixel unless tile mode; see below)
         for k in range(C):
             shift = (k * S) % n_pix
             L_pix = L_pix + Vec3(jnp.roll(tx[:, k], shift),
@@ -484,4 +519,17 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     cs0s = jnp.asarray(s0, jnp.int32) + jnp.arange(n_chunks, dtype=jnp.int32) * C
     (L_pix, it), _ = jax.lax.scan(
         chunk, (Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)), cs0s)
+    if tile is not None:
+        # slot -> row-major pixel: ONE gather outside all loops
+        import numpy as np
+        tw, th = tile
+        m = np.arange(n_pix)
+        tiles_x = cfg.width // tw
+        tid, within = m // PKT, m % PKT
+        px_i = (tid % tiles_x) * tw + within % tw
+        py_i = (tid // tiles_x) * th + within // tw
+        slot_pix = py_i * cfg.width + px_i     # pixel id held by slot m
+        perm = np.empty(n_pix, np.int32)
+        perm[slot_pix] = m                     # slot owning pixel p
+        L_pix = L_pix.map(lambda a: jnp.take(a, jnp.asarray(perm)))
     return L_pix, it

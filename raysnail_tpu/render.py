@@ -112,6 +112,13 @@ def make_frame_step(scene: scenelib.Scene, cfg: RenderConfig):
     backend = "fast" if cfg.rng == "auto" else cfg.rng
     if backend != "fast" or cfg.path_regen == "never" or cfg.wavefront_sort:
         return None
+    if scene.mandelbulbs:
+        # the distance-field march skips all-miss 32k-lane BLOCKS
+        # (geometry/mandelbulb.py) — that needs spatially clustered lanes,
+        # which the cross-pixel shuffle destroys (r3 bench: passes4 halved).
+        # The sample-step path keeps lane = pixel in image-tile order and
+        # still runs plain per-pixel regeneration.
+        return None
 
     @jax.jit
     def step(arrays: scenelib.SceneArrays, camera: Camera, key):

@@ -161,3 +161,35 @@ def test_regen_chunk_width_is_invariant(monkeypatch):
         )(scene.arrays)
         outs.append(np.asarray(sums.to_array()))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4)
+
+
+def test_regen_shuffle_tiled_packets_invariant():
+    """When a packet traversal kernel is active, the regen shuffle rotates
+    at PACKET granularity with tile-decoded lanes; the estimate must equal
+    the scan integrator's (same (pixel, sample) keys) exactly per pixel."""
+    import numpy as np
+
+    from raysnail_tpu import ir
+    from raysnail_tpu.camera import build_camera
+    from raysnail_tpu.render import render
+    from raysnail_tpu.scene import SceneBuilder
+    from raysnail_tpu.scenes.meshes import uv_sphere
+
+    v, f, n_ = uv_sphere(10, 14, center=(0.0, 0.0, -3.0))
+    b = SceneBuilder()
+    b.add(ir.Mesh(vertices=v, indices=f, normals=n_,
+                  material=ir.Lambertian(ir.Constant((0.6, 0.4, 0.3)))))
+    b.add(ir.Sphere((0, -101.0, -3), 100.0,
+                    ir.Lambertian(ir.Constant((0.5, 0.5, 0.5)))))
+    b.add(ir.Sphere((3, 4, 0), 0.8,
+                    ir.DiffuseLight(ir.Constant((1.0, 1.0, 1.0)), 5.0)),
+          light=True)
+    scene = b.compile()
+    # 32x16 = 512 lanes = 4 packets; 16x8 tiles divide -> tile mode active
+    cfg = RenderConfig(width=32, height=16, samples=4, max_depth=3,
+                       mesh_pallas="force")
+    cam = build_camera((0, 0, 1), (0, 0, -3), fov=50,
+                       width=cfg.width, height=cfg.height)
+    img_regen = render(scene, cam, cfg, seed=4)           # frame step (tiled)
+    img_scan = render(scene, cam, cfg.replace(path_regen="never"), seed=4)
+    np.testing.assert_allclose(img_regen, img_scan, atol=2e-5)
