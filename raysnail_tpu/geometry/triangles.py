@@ -282,10 +282,13 @@ def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
     def p(a):
         return jnp.pad(a, (0, pad)) if pad else a
 
+    # block lane width identifies the pack format (scene._pack_mxu_blocks
+    # vs _pack_leaf_blocks): 640 = MXU one-matmul solve, 128 = VPU Cramer
+    kind = "tri_mxu" if group.pk_tri.shape[2] == bvh_pallas.MXU_LANES else "tri"
     t, nx, ny, nz, _, mat = bvh_pallas.bvh_traverse(
         (p(ox), p(oy), p(oz)), (p(dx), p(dy), p(dz)), p(cap),
         group.pk_bb, group.pk_links, group.pk_tri,
-        jnp.float32(t_min), jnp.float32(t_max), kind="tri",
+        jnp.float32(t_min), jnp.float32(t_max), kind=kind,
         interpret=interpret,
     )
     t, nx, ny, nz, mat = t[:n], nx[:n], ny[:n], nz[:n], mat[:n]

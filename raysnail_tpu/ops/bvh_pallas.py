@@ -59,6 +59,16 @@ NF_TRI = 24
 NF_SPH = 8
 # box kind (axis-aligned): 0-2 p_min | 3-5 p_max | 6 valid | 7 material id
 NF_BOX = 8
+# tri_mxu kind: blocks are (B, 16, 640) — lanes 0:512 hold the SOLVE table
+# F (rows 0-9; one (128,16)x(16,512) matmul yields denom | n.o-n.p0 |
+# beta_num | gamma_num for all 128 rays x 128 tris), lanes 512:640 the attr
+# table (0 valid | 1 mat | 2-4 n0 | 5-7 n1 | 8-10 n2). The Cramer solve's
+# ~55 VPU ops per sweep collapse into one MXU call + a ~20-op epilogue;
+# derivation: denom = d.n, t_num = n.p0 - n.o, beta_num = d.(p0 x dd) +
+# (o x d).dd, gamma_num = d.(a x p0) - (o x d).a  (triple-product identities
+# of triangle_mesh.rs:85-131's Cramer form; a = p0-p1, dd = p0-p2, n = a x dd)
+NF_MXU = 16
+MXU_LANES = 640
 
 
 import os
@@ -142,6 +152,15 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
         inv_xl, inv_yl, inv_zl = inv(d_xl), inv(d_yl), inv(d_zl)
         if kind == "box":
             ivc_x, ivc_y, ivc_z = inv(d_x), inv(d_y), inv(d_z)
+        if kind == "tri_mxu":
+            # per-packet ray feature matrix [d | o | o x d | 1 | 0...]
+            cxx = o_y * d_z - o_z * d_y
+            cxy = o_z * d_x - o_x * d_z
+            cxz = o_x * d_y - o_y * d_x
+            rayF = jnp.concatenate(
+                [d_x, d_y, d_z, o_x, o_y, o_z, cxx, cxy, cxz,
+                 jnp.ones_like(o_x)] + [jnp.zeros_like(o_x)] * 6,
+                axis=1)                                   # (PACKET, 16)
 
         def slab_win(base):
             """(WIN, 128) slab test of WIN consecutive nodes (rows of an
@@ -185,7 +204,22 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                 return st
             bt = st[:, 0:1]
             fld = lambda i: m[i:i + 1, :]                    # (1, LANES)
-            if kind == "tri":
+            if kind == "tri_mxu":
+                # one MXU call solves all 4 quantities for 128x128 pairs
+                out4 = jax.lax.dot_general(
+                    rayF, m[:, 0:512], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # (PACKET, 512)
+                den = out4[:, 0:128]
+                den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+                inv_den = 1.0 / den
+                t = -out4[:, 128:256] * inv_den
+                beta = out4[:, 256:384] * inv_den
+                gamma = out4[:, 384:512] * inv_den
+                ok = ((beta >= 0.0) & (beta < 1.0) & (gamma > 0.0)
+                      & (beta + gamma < 1.0) & (t >= t_min) & (t <= t_max)
+                      & (m[0:1, 512:640] > 0.0) & (t < bt))
+            elif kind == "tri":
                 # Cramer's-rule barycentric solve (triangle_mesh.rs:85-131):
                 # (128 rays, 1) x (1, 128 tris) -> (128, 128)
                 j = fld(0) - o_x
@@ -287,12 +321,22 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
             # are exactly 0). Replaces ~12 masked lane reductions that
             # measured ~0.85 us/sweep (2/3 of the sweep cost).
             ext = jax.lax.dot_general(
-                sel.astype(jnp.float32), m, (((1,), (1,)), ((), ())),
+                sel.astype(jnp.float32),
+                m if kind != "tri_mxu" else m[:, 512:640],
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)         # (PACKET, NF)
 
             z1 = jnp.zeros_like(rmin)
-            if kind == "tri":
+            if kind == "tri_mxu":
+                bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=1, keepdims=True)
+                gsel = jnp.sum(jnp.where(sel, gamma, 0.0), axis=1, keepdims=True)
+                w0 = 1.0 - bsel - gsel
+                nvec = (ext[:, 2:5] * w0 + ext[:, 5:8] * bsel
+                        + ext[:, 8:11] * gsel)
+                new = jnp.concatenate(
+                    [rmin, nvec, z1, ext[:, 1:2], z1, z1], axis=1)
+            elif kind == "tri":
                 # beta/gamma vary per (ray, tri) so they cannot ride the
                 # static-attr matmul: two masked lane reductions remain
                 bsel = jnp.sum(jnp.where(sel, beta, 0.0), axis=1, keepdims=True)
@@ -396,12 +440,13 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
 
                 def sweep_j(j, st):
                     copy(j).wait()
-                    m = vbuf[pl.ds(j, 1), :, :].reshape(vbuf.shape[1], LANES)
+                    m = vbuf[pl.ds(j, 1), :, :].reshape(vbuf.shape[1],
+                                                        vbuf.shape[2])
                     return sweep(m, st)
             else:
                 def sweep_j(j, st):
                     m = prim[pl.ds(buf[j], 1), :, :].reshape(
-                        prim.shape[1], LANES)
+                        prim.shape[1], prim.shape[2])
                     return sweep(m, st)
 
             st = jax.lax.fori_loop(0, nbuf, sweep_j, st)
@@ -478,7 +523,7 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
         prim_spec = pl.BlockSpec(memory_space=pl.ANY)
         nf = prim_packed.shape[1]
         scratch = [pltpu.SMEM((CHUNK,), jnp.int32),
-                   pltpu.VMEM((CHUNK, nf, LANES), jnp.float32),
+                   pltpu.VMEM((CHUNK, nf, prim_packed.shape[2]), jnp.float32),
                    pltpu.SemaphoreType.DMA((CHUNK,))]
     else:
         prim_spec = pl.BlockSpec(prim_packed.shape, lambda i: (0, 0, 0),

@@ -642,19 +642,12 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
                  media=tuple(media_nodes), mandelbulbs=tuple(bulbs))
 
 
-def _pack_leaf_blocks(bb_min, bb_max, fields):
-    """Fat-leaf BVH (leaf = LANES prims) + (B, NF, LANES) field blocks for
-    the pallas traversal kernel (ops/bvh_pallas.py): fields on sublanes,
-    primitives on lanes — the compact layout with no lane padding. Padding
-    rows are zeroed, so a `valid` field of ones marks real primitives.
-
-    fields: list of (P,) float arrays, one per block row; NF rounds up to a
-    multiple of 8 (f32 sublane tile).
-    -> (pk_bb (K, M, 8) f32, pk_links (K, M, 4) i32,
-        pk_prim (B, NF, LANES) f32)
-    where K = 8 direction-octant node orders (front-to-back traversal) for
-    trees that fit SMEM 8x, else K = 1 (build order).
-    """
+def _leaf_tree(bb_min, bb_max):
+    """Fat-leaf BVH (leaf = LANES prims) node arrays for the pallas
+    traversal kernel. -> (pk_bb (K, M, 8) f32, pk_links (K, M, 4) i32,
+    order, pad mask, safe indices, n_blocks) where K = 8 direction-octant
+    node orders (front-to-back traversal) for trees that fit SMEM 8x, else
+    K = 1 (build order)."""
     from raysnail_tpu.accel.bvh import build_bvh, relinearize_octants
     from raysnail_tpu.ops.bvh_pallas import LANES
 
@@ -676,13 +669,59 @@ def _pack_leaf_blocks(bb_min, bb_max, fields):
         pk_links[0, :, 0] = fat.first // LANES
         pk_links[0, :, 1] = fat.count
         pk_links[0, :, 2] = fat.miss
+    return pk_bb, pk_links, order, pad, safe, len(order) // LANES
 
+
+def _pack_leaf_blocks(bb_min, bb_max, fields):
+    """Fat-leaf BVH (leaf = LANES prims) + (B, NF, LANES) field blocks for
+    the pallas traversal kernel (ops/bvh_pallas.py): fields on sublanes,
+    primitives on lanes — the compact layout with no lane padding. Padding
+    rows are zeroed, so a `valid` field of ones marks real primitives.
+
+    fields: list of (P,) float arrays, one per block row; NF rounds up to a
+    multiple of 8 (f32 sublane tile).
+    -> (pk_bb (K, M, 8) f32, pk_links (K, M, 4) i32,
+        pk_prim (B, NF, LANES) f32)
+    """
+    from raysnail_tpu.ops.bvh_pallas import LANES
+
+    pk_bb, pk_links, order, pad, safe, n_blocks = _leaf_tree(bb_min, bb_max)
     nf = -(-len(fields) // 8) * 8
-    n_blocks = len(order) // LANES
     pk = np.zeros((n_blocks, nf, LANES), np.float32)
     for i, f in enumerate(fields):
         vals = np.where(pad, 0.0, np.asarray(f, np.float64)[safe])
         pk[:, i, :] = vals.reshape(n_blocks, LANES)
+    return pk_bb, pk_links, pk
+
+
+def _pack_mxu_blocks(bb_min, bb_max, nrm, q, r, e1, e2, np0, attr_fields):
+    """MXU-solve leaf blocks (ops/bvh_pallas.py NF_MXU): (B, 16, 640) —
+    lanes 0:512 the solve table F (denom | t | beta | gamma columns of the
+    one-matmul Cramer solve), lanes 512:640 the attr table
+    [valid, mat, n0, n1, n2]."""
+    from raysnail_tpu.ops.bvh_pallas import LANES, MXU_LANES, NF_MXU
+
+    pk_bb, pk_links, order, pad, safe, n_blocks = _leaf_tree(bb_min, bb_max)
+
+    def ro(a):
+        """(P,) or (P,3) -> padded-reordered (n_blocks, LANES[, 3])."""
+        vals = np.asarray(a, np.float64)[safe]
+        vals[pad] = 0.0
+        return vals.reshape((n_blocks, LANES) + vals.shape[1:])
+
+    pk = np.zeros((n_blocks, NF_MXU, MXU_LANES), np.float32)
+    nrm_o, q_o, r_o = ro(nrm), ro(q), ro(r)
+    e1_o, e2_o, np0_o = ro(e1), ro(e2), ro(np0)
+    for ax in range(3):
+        pk[:, ax, 0:128] = nrm_o[:, :, ax]          # denom: d . n
+        pk[:, 3 + ax, 128:256] = nrm_o[:, :, ax]    # t: o-part = n
+        pk[:, ax, 256:384] = q_o[:, :, ax]          # beta: d-part
+        pk[:, 6 + ax, 256:384] = e2_o[:, :, ax]     # beta: (o x d)-part = dd
+        pk[:, ax, 384:512] = r_o[:, :, ax]          # gamma: d-part
+        pk[:, 6 + ax, 384:512] = -e1_o[:, :, ax]    # gamma: (o x d)-part = -a
+    pk[:, 9, 128:256] = -np0_o                      # t: const = -(n . p0)
+    for i, f in enumerate(attr_fields):
+        pk[:, i, 512:640] = ro(f)
     return pk_bb, pk_links, pk
 
 
@@ -732,12 +771,27 @@ def _build_triangles(mesh_list, f32):
     e1 = p0 - p1
     e2 = p0 - p2
     ones = np.ones(len(p0))
-    pk_bb, pk_links, pk_tri = _pack_leaf_blocks(
-        bb_min, bb_max,
-        [p0[:, 0], p0[:, 1], p0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
-         e2[:, 0], e2[:, 1], e2[:, 2], ones,
-         n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
-         n2[:, 0], n2[:, 1], n2[:, 2], mat.astype(np.float64)],
+    import os as _os
+    if _os.environ.get("RAYSNAIL_MESH_SOLVER", "mxu") == "mxu":
+        # MXU solve format (bvh_pallas NF_MXU): per-tri features so one
+        # (128,16)x(16,512) matmul yields denom/t/beta/gamma numerators
+        nrm = np.cross(e1, e2)          # n = a x dd
+        q = np.cross(p0, e2)            # p0 x dd   (beta, d-part)
+        r = np.cross(e1, p0)            # a x p0    (gamma, d-part)
+        np0 = np.sum(nrm * p0, axis=1)  # n . p0
+        pk_bb, pk_links, pk_tri = _pack_mxu_blocks(
+            bb_min, bb_max, nrm, q, r, e1, e2, np0,
+            [ones, mat.astype(np.float64),
+             n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
+             n2[:, 0], n2[:, 1], n2[:, 2]],
+        )
+    else:
+        pk_bb, pk_links, pk_tri = _pack_leaf_blocks(
+            bb_min, bb_max,
+            [p0[:, 0], p0[:, 1], p0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
+             e2[:, 0], e2[:, 1], e2[:, 2], ones,
+             n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
+             n2[:, 0], n2[:, 1], n2[:, 2], mat.astype(np.float64)],
     )
 
     return triangles.TriangleGroup(

@@ -91,11 +91,45 @@ def main():
         c, (t, a0) = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
         return c + 0 * t[0, 0], a0[0]
 
+    # honest bounce-1 geometry: origins at the PRIMARY hit points (tile
+    # order), random upward directions — then octant-sorted variants that
+    # reuse the SAME compiled kernel (host-side permutations) to measure
+    # the packet-coherence headroom of ray sorting at zero compile cost
+    (o3c, d3c) = fields(False, False)
+    t_prim = np.asarray(jax.jit(lambda o, d: bvh_pallas.bvh_traverse(
+        o, d, jnp.full((npk,), 1e30, jnp.float32), g.pk_bb, g.pk_links,
+        g.pk_tri, jnp.float32(1e-3), jnp.float32(1e30), kind="tri")[0]
+    )(o3c, d3c))[:n]
+    t_hit = np.clip(t_prim, 0.0, 12.0).astype(np.float32)
+    o_np = np.stack([np.asarray(a)[:n] for a in o3c])
+    d_np = np.stack([np.asarray(a)[:n] for a in d3c])
+    hp = o_np + d_np * t_hit[None, :] * 0.999
+    r3_ = np.random.default_rng(9)
+    nd = r3_.normal(size=(3, n)).astype(np.float32)
+    nd /= np.linalg.norm(nd, axis=0, keepdims=True)
+    nd[1] = np.abs(nd[1])  # upward-ish
+
+    def bounce_fields(order=None):
+        h, dd = (hp, nd) if order is None else (hp[:, order], nd[:, order])
+        return (tuple(pd(jnp.asarray(h[i])) for i in range(3)),
+                tuple(pd(jnp.asarray(dd[i])) for i in range(3)))
+
+    octant = ((nd[0] < 0).astype(np.int64) * 4 + (nd[1] < 0) * 2
+              + (nd[2] < 0))
+    lane = np.arange(n)
+    sort_g = np.argsort(octant, kind="stable")
+    sort_1k = np.argsort((lane // 1024) * 8 + octant, kind="stable")
+    sort_4k = np.argsort((lane // 4096) * 8 + octant, kind="stable")
+
     tag = "NOATTR" if noattr else "full"
     for label, (o3, d3) in [
         ("coherent-primary", fields(False, False)),
         ("shuffled-primary", fields(True, False)),
         ("diffuse-bounce  ", fields(False, True)),
+        ("bounce1 tile    ", bounce_fields()),
+        ("bounce1 oct-glob", bounce_fields(sort_g)),
+        ("bounce1 oct-1k  ", bounce_fields(sort_1k)),
+        ("bounce1 oct-4k  ", bounce_fields(sort_4k)),
     ]:
         best = bench(lambda o, d: kern(o, d), o3, d3,
                      label=f"{tag} {label}", n=n)

@@ -136,9 +136,11 @@ def test_hbm_leaf_streaming_matches_resident(rng_np):
         group.pk_bb, group.pk_links, group.pk_tri,
         TMIN, TMAX,
     )
-    res = bvh_pallas.bvh_traverse(*args, kind="tri", interpret=True,
+    kind = ("tri_mxu" if group.pk_tri.shape[2] == bvh_pallas.MXU_LANES
+            else "tri")
+    res = bvh_pallas.bvh_traverse(*args, kind=kind, interpret=True,
                                   stream=False)
-    strm = bvh_pallas.bvh_traverse(*args, kind="tri", interpret=True,
+    strm = bvh_pallas.bvh_traverse(*args, kind=kind, interpret=True,
                                    stream=True)
     for a, b in zip(res, strm):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
