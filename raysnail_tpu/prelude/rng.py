@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # purpose tags (folded into keys so draws for different uses are independent)
 RAYGEN = 1
@@ -62,7 +63,13 @@ def uniforms(k: jax.Array, n: int, shape=(), dtype=jnp.float32):
 #     keeps the identical keying semantics (seed, sample, pixel, bounce,
 #     purpose, slot), so renders stay shard/tile-invariant.
 
-_PHI = jnp.uint32(0x9E3779B9)   # 2^32 / golden ratio
+# 2^32 / golden ratio. A NUMPY scalar, very deliberately: a module-level
+# jnp.uint32 is created ON the default device at import and closed over by
+# every traced function — at lowering, jax inlines it as an MLIR constant
+# via a BLOCKING device fetch, which on the axon remote runtime measured
+# 250-556 s. That one line was the bulk of every "cold compile" in rounds
+# 1-3 (BENCH_DETAILS compile_s 409-592 s).
+_PHI = np.uint32(0x9E3779B9)
 
 
 def _fmix32(x):

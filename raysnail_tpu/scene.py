@@ -772,7 +772,12 @@ def _build_triangles(mesh_list, f32):
     e2 = p0 - p2
     ones = np.ones(len(p0))
     import os as _os
-    if _os.environ.get("RAYSNAIL_MESH_SOLVER", "mxu") == "mxu":
+    # default cramer: the MXU one-matmul solve MEASURED ~20% slower end-to-
+    # end on v5e (kern_sweepstats r4: shuffled 41.4 vs 33.2 ms — the
+    # (128,16)x(16,512) HIGHEST-precision matmul + operand staging costs
+    # more than the ~55 VPU ops it replaces); kept behind the env knob as
+    # measured evidence
+    if _os.environ.get("RAYSNAIL_MESH_SOLVER", "cramer") == "mxu":
         # MXU solve format (bvh_pallas NF_MXU): per-tri features so one
         # (128,16)x(16,512) matmul yields denom/t/beta/gamma numerators
         nrm = np.cross(e1, e2)          # n = a x dd

@@ -50,6 +50,9 @@ def main():
     cfg = RenderConfig(width=320, height=200, samples=16, max_depth=6)
     scene, cam = build_mesh_scene(cfg)
     g = scene.arrays.triangles
+    global KIND
+    KIND = ("tri_mxu" if g.pk_tri.shape[2] == bvh_pallas.MXU_LANES else "tri")
+    print("solver kind:", KIND, flush=True)
     px, py, _ = _tile_grid(cfg)
     px = jnp.asarray(px, cfg.dtype); py = jnp.asarray(py, cfg.dtype)
     keys = prng.fast_streams(prng.key(7), (py * cfg.width + px).astype(jnp.int32))
@@ -86,7 +89,7 @@ def main():
                 o3, (d3[0] + c * 0.0, d3[1], d3[2]),
                 jnp.full((npk,), 1e30, jnp.float32),
                 g.pk_bb, g.pk_links, g.pk_tri,
-                jnp.float32(1e-3), jnp.float32(1e30), kind="tri")
+                jnp.float32(1e-3), jnp.float32(1e30), kind=KIND)
             return c + t.sum() * 1e-30, (t, a0)
         c, (t, a0) = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
         return c + 0 * t[0, 0], a0[0]
@@ -98,7 +101,7 @@ def main():
     (o3c, d3c) = fields(False, False)
     t_prim = np.asarray(jax.jit(lambda o, d: bvh_pallas.bvh_traverse(
         o, d, jnp.full((npk,), 1e30, jnp.float32), g.pk_bb, g.pk_links,
-        g.pk_tri, jnp.float32(1e-3), jnp.float32(1e30), kind="tri")[0]
+        g.pk_tri, jnp.float32(1e-3), jnp.float32(1e30), kind=KIND)[0]
     )(o3c, d3c))[:n]
     t_hit = np.clip(t_prim, 0.0, 12.0).astype(np.float32)
     o_np = np.stack([np.asarray(a)[:n] for a in o3c])
