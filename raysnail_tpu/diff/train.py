@@ -112,6 +112,21 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         img = render_image_diff(scene, camera, cfg, params, key, ids)
         return img  # sums*(1/1) == the cell's radiance
 
+    def fast_mean_image(params, key, ids):
+        """Pass-1 forward: the mean image under the FAST forward policies
+        (path regeneration + auto kernels). Pass 1 is stop_gradient'd — it
+        only supplies the loss and the cotangent dL/d(mean image) — so it
+        need not run the reverse-differentiable scan integrator. Keying is
+        (seed, pixel, sample, bounce) in both integrators, so the estimate
+        matches the scan forward modulo f32 summation order (~1e-6)."""
+        arrays = inject_params(scene.arrays, params)
+        w, h = cfg.width, cfg.height
+        py, px = jnp.meshgrid(jnp.arange(h, dtype=cfg.dtype),
+                              jnp.arange(w, dtype=cfg.dtype), indexing="ij")
+        sums = renderlib.sample_sums(scene, cfg, arrays, camera, key, ids,
+                                     px.ravel(), py.ravel())
+        return sums * (1.0 / ids.shape[0])
+
     @jax.jit
     def step(params, opt_state, key, sample_ids):
         s = sample_ids.shape[0]
@@ -119,9 +134,11 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
             loss_fn = make_loss_fn(scene, camera, cfg, target)
             loss, grads = jax.value_and_grad(loss_fn)(params, key, sample_ids)
         else:
-            # pass 1: mean image through the forward sample scan, no residuals
-            img = jax.lax.stop_gradient(render_image_diff(
-                scene, camera, cfg, params, key, sample_ids))
+            # pass 1: mean image through the FAST forward (regen integrator;
+            # no residuals, no gradients) — the scan integrator is only
+            # needed inside the per-cell VJPs below
+            img = jax.lax.stop_gradient(fast_mean_image(
+                params, key, sample_ids))
             d = img - target_flat
             loss = 0.5 * jnp.mean(d.dot(d))
             # dL/d(mean image) = d / n_pix (d.dot(d) sums channels, mean is
