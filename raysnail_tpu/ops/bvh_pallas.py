@@ -306,7 +306,7 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
             # its neighbor's entry plane), so the box kind keeps the
             # tie-break.
             if kind == "box":
-                lane_i = jax.lax.broadcasted_iota(jnp.float32,
+                lane_i = jax.lax.broadcasted_iota(jnp.int32,
                                                   (PACKET, LANES), 1)
                 arg = jnp.min(jnp.where(tm == rmin, lane_i, LANES),
                               axis=1, keepdims=True)
