@@ -93,6 +93,12 @@ class RenderConfig:
                                  # the pallas mesh traversal (no-op on other paths).
                                  # Off: measured net loss at <=10k tris (argsort +
                                  # 10 gathers cost more than the coherence win)
+    mesh_bin: str = "never"      # supertile-local ray binning before the pallas
+                                 # mesh traversal via gather-free one-hot MXU
+                                 # permutations (ops/binning.py): "never" |
+                                 # "entry" (root-box entry-point octant) |
+                                 # "dir" (direction octant) | "miss" (dead/miss
+                                 # compaction only)
     remat_bounces: bool = True   # jax.checkpoint the bounce body: backward
                                  # stores per-bounce carries only (forward-only
                                  # renders are unaffected)

@@ -245,7 +245,7 @@ def intersect(group: TriangleGroup, ray, t_min, t_max,
 
 def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
                      active=None, t_cap=None, interpret: bool = False,
-                     sort_rays: bool = False) -> Hit:
+                     sort_rays: bool = False, bin_mode: str = "never") -> Hit:
     """Packet BVH traversal on the TPU (ops/bvh_pallas.py v4): normals and
     material ids come back from the kernel itself, so no per-ray gathers
     remain on this path.
@@ -255,8 +255,11 @@ def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
     already found in cheaper primitive groups — traversal never admits a
     node beyond it. sort_rays additionally groups rays into packets by
     direction octant (stable, so already-coherent primary packets are
-    preserved)."""
-    from raysnail_tpu.ops import bvh_pallas
+    preserved). bin_mode != "never" instead reorders rays WITHIN 1024-lane
+    supertiles by a coherence key via gather-free one-hot MXU permutations
+    (ops/binning.py) — root-box-missing and dead lanes compact to the tail
+    so trailing packets skip traversal entirely."""
+    from raysnail_tpu.ops import binning, bvh_pallas
 
     n = jnp.shape(ray.direction.x)[0]
     ox, oy, oz = ray.origin.x, ray.origin.y, ray.origin.z
@@ -282,15 +285,33 @@ def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
     def p(a):
         return jnp.pad(a, (0, pad)) if pad else a
 
+    pox, poy, poz = p(ox), p(oy), p(oz)
+    pdx, pdy, pdz = p(dx), p(dy), p(dz)
+    pcap = p(cap)
+    P = None
+    if bin_mode != "never":
+        assert order is None, "sort_rays and bin_mode are exclusive"
+        root_bb = group.pk_bb[0, 0, :6]
+        kb = binning.keys(pox, poy, poz, pdx, pdy, pdz, pcap, root_bb,
+                          t_min, bin_mode)
+        P = binning.perm(kb)
+        pox, poy, poz, pdx, pdy, pdz, pcap = binning.apply(
+            P, [pox, poy, poz, pdx, pdy, pdz, pcap])
+
     # block lane width identifies the pack format (scene._pack_mxu_blocks
     # vs _pack_leaf_blocks): 640 = MXU one-matmul solve, 128 = VPU Cramer
     kind = "tri_mxu" if group.pk_tri.shape[2] == bvh_pallas.MXU_LANES else "tri"
     t, nx, ny, nz, _, mat = bvh_pallas.bvh_traverse(
-        (p(ox), p(oy), p(oz)), (p(dx), p(dy), p(dz)), p(cap),
+        (pox, poy, poz), (pdx, pdy, pdz), pcap,
         group.pk_bb, group.pk_links, group.pk_tri,
         jnp.float32(t_min), jnp.float32(t_max), kind=kind,
         interpret=interpret,
     )
+    if P is not None:
+        # misses carry t = BIG: exact under the one-hot matmul (0 + BIG)
+        t, nx, ny, nz, matf = binning.unapply(
+            P, [t, nx, ny, nz, mat.astype(jnp.float32)])
+        mat = jnp.round(matf).astype(jnp.int32)
     t, nx, ny, nz, mat = t[:n], nx[:n], ny[:n], nz[:n], mat[:n]
     if order is not None:
         inv = jnp.zeros_like(order).at[order].set(

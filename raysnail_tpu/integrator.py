@@ -120,6 +120,7 @@ def _pallas_policy(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         mesh_pallas=mesh_pallas,
         mesh_interpret=mesh_pallas and on_cpu,
         mesh_sort=cfg.mesh_sort,
+        mesh_bin=cfg.mesh_bin,
         sphere_bvh=sphere_bvh,
         sphere_bvh_interpret=sphere_bvh and on_cpu,
         box_pallas=box_pallas,

@@ -90,7 +90,8 @@ BOX_BVH_MIN_BUILD = 130
 def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
               use_pallas: bool = False, pallas_interpret: bool = False,
               mesh_pallas: bool = False, mesh_interpret: bool = False,
-              mesh_sort: bool = False, sphere_bvh: bool = False,
+              mesh_sort: bool = False, mesh_bin: str = "never",
+              sphere_bvh: bool = False,
               sphere_bvh_interpret: bool = False, box_pallas: bool = False,
               box_interpret: bool = False, active=None) -> Hit:
     """Closest hit across all primitive groups. `arrays` is passed separately
@@ -136,7 +137,7 @@ def intersect(scene: Scene, arrays: SceneArrays, ray, t_min, t_max, key,
                 arrays.triangles, ray, t_min, t_max, active=active,
                 t_cap=best.t,
                 interpret=pallas_interpret or mesh_interpret,
-                sort_rays=mesh_sort)
+                sort_rays=mesh_sort, bin_mode=mesh_bin)
         elif scene.static.tri_brute:
             tri_hit = triangles.intersect_brute(arrays.triangles, ray, t_min, t_max)
         else:
