@@ -202,11 +202,13 @@ def _configs(small: bool):
     # shipped; the knot exercises the same BVH path). Kept modest: the
     # lockstep traversal's node gathers serialize on TPU until the pallas
     # traversal kernel lands.
-    # RAYSNAIL_BENCH_MESH_SORT=1 A/Bs the octant ray sort on the mesh configs
+    # RAYSNAIL_BENCH_MESH_SORT=1 A/Bs the octant ray sort on the mesh configs;
+    # RAYSNAIL_BENCH_MESH_BIN=entry|dir|miss A/Bs the supertile binning
     _msort = os.environ.get("RAYSNAIL_BENCH_MESH_SORT") == "1"
+    _mbin = os.environ.get("RAYSNAIL_BENCH_MESH_BIN", "auto")
     cfgm = RenderConfig(width=160 if small else 320, height=100 if small else 200,
                         samples=4 if small else 16, max_depth=6,
-                        mesh_sort=_msort)
+                        mesh_sort=_msort, mesh_bin=_mbin)
     v, f, n = torus_knot(n_seg=100 if small else 200, n_ring=16 if small else 24)
     b = SceneBuilder()
     b.add(ir.Mesh(vertices=v, indices=f, normals=n,
@@ -224,7 +226,7 @@ def _configs(small: bool):
     # reference drives through its OBJ loader (preview_sdl2.rs:452-525)
     cfgM = RenderConfig(width=160 if small else 320, height=100 if small else 200,
                         samples=4 if small else 16, max_depth=6,
-                        mesh_sort=_msort)
+                        mesh_sort=_msort, mesh_bin=_mbin)
     vM, fM, nM = torus_knot(n_seg=200 if small else 1600,
                             n_ring=16 if small else 64)
     bM = SceneBuilder()

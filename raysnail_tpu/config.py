@@ -93,11 +93,15 @@ class RenderConfig:
                                  # the pallas mesh traversal (no-op on other paths).
                                  # Off: measured net loss at <=10k tris (argsort +
                                  # 10 gathers cost more than the coherence win)
-    mesh_bin: str = "never"      # supertile-local ray binning before the pallas
+    mesh_bin: str = "auto"       # supertile-local ray binning before the pallas
                                  # mesh traversal via gather-free one-hot MXU
-                                 # permutations (ops/binning.py): "never" |
+                                 # permutations (ops/binning.py): "auto"
+                                 # (= "entry" on accelerators, measured best:
+                                 # 1.48 vs 1.14 Mrays/s on mesh+arealight;
+                                 # entrydir over-fragments at 1.04) | "never" |
                                  # "entry" (root-box entry-point octant) |
-                                 # "dir" (direction octant) | "miss" (dead/miss
+                                 # "dir" (direction octant) | "entrydir"
+                                 # (entry x dir, 64 bins) | "miss" (dead/miss
                                  # compaction only)
     remat_bounces: bool = True   # jax.checkpoint the bounce body: backward
                                  # stores per-bounce carries only (forward-only

@@ -294,7 +294,7 @@ def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
         root_bb = group.pk_bb[0, 0, :6]
         kb = binning.keys(pox, poy, poz, pdx, pdy, pdz, pcap, root_bb,
                           t_min, bin_mode)
-        P = binning.perm(kb)
+        P = binning.perm(kb, binning.MODE_KEYS[bin_mode])
         pox, poy, poz, pdx, pdy, pdz, pcap = binning.apply(
             P, [pox, poy, poz, pdx, pdy, pdz, pcap])
 

@@ -120,7 +120,11 @@ def _pallas_policy(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         mesh_pallas=mesh_pallas,
         mesh_interpret=mesh_pallas and on_cpu,
         mesh_sort=cfg.mesh_sort,
-        mesh_bin=cfg.mesh_bin,
+        # "auto" resolves to the measured-best supertile binning mode on
+        # accelerators (A/B on mesh+arealight, v5e: never 1.14 / miss 1.28 /
+        # dir 1.34 / entry 1.48 Mrays/s); binning only costs on CPU interpret
+        mesh_bin=(("entry" if mesh_pallas and not on_cpu else "never")
+                  if cfg.mesh_bin == "auto" else cfg.mesh_bin),
         sphere_bvh=sphere_bvh,
         sphere_bvh_interpret=sphere_bvh and on_cpu,
         box_pallas=box_pallas,

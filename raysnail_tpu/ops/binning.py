@@ -38,6 +38,9 @@ import jax.numpy as jnp
 B = 1024  # supertile = one kernel grid program (bvh_pallas.TILE_R)
 N_KEYS = 9  # 8 entry/dir octants + 1 miss/dead bin
 
+# bins per mode (miss/dead bin is always the last key)
+MODE_KEYS = {"miss": 2, "dir": 9, "entry": 9, "entrydir": 65}
+
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -65,12 +68,14 @@ def keys(ox, oy, oz, dx, dy, dz, cap, root_bb, t_min, mode: str):
                                   jnp.maximum(ty0, ty1)),
                       jnp.maximum(tz0, tz1))
     live = (cap > 0.0) & (near <= far) & (far >= t_min) & (near <= cap)
+    nk = MODE_KEYS[mode]
     if mode == "miss":
-        return jnp.where(live, 0, N_KEYS - 1).astype(jnp.int32)
+        return jnp.where(live, 0, nk - 1).astype(jnp.int32)
+    d8 = ((dx < 0).astype(jnp.int32) * 4 + (dy < 0).astype(jnp.int32) * 2
+          + (dz < 0).astype(jnp.int32))
     if mode == "dir":
-        o8 = ((dx < 0).astype(jnp.int32) * 4 + (dy < 0).astype(jnp.int32) * 2
-              + (dz < 0).astype(jnp.int32))
-    else:  # entry
+        o8 = d8
+    else:  # entry / entrydir
         te = jnp.maximum(near, 0.0)
         cx = 0.5 * (root_bb[0] + root_bb[3])
         cy = 0.5 * (root_bb[1] + root_bb[4])
@@ -78,16 +83,18 @@ def keys(ox, oy, oz, dx, dy, dz, cap, root_bb, t_min, mode: str):
         o8 = ((ox + dx * te > cx).astype(jnp.int32) * 4
               + ((oy + dy * te > cy).astype(jnp.int32)) * 2
               + (oz + dz * te > cz).astype(jnp.int32))
-    return jnp.where(live, o8, N_KEYS - 1).astype(jnp.int32)
+        if mode == "entrydir":
+            o8 = o8 * 8 + d8
+    return jnp.where(live, o8, nk - 1).astype(jnp.int32)
 
 
-def perm(key):
+def perm(key, n_keys: int = N_KEYS):
     """Stable counting sort of each B-lane supertile by key -> one-hot
     permutation P (G, B, B) f32 with P[g, i, j] = (dest of lane i == j)."""
     n = key.shape[0]
     assert n % B == 0, n
     k2 = key.reshape(-1, B)                                    # (G, B)
-    oh = (k2[:, :, None] == jnp.arange(N_KEYS)[None, None, :]).astype(
+    oh = (k2[:, :, None] == jnp.arange(n_keys)[None, None, :]).astype(
         jnp.float32)                                           # (G, B, K)
     pref = jnp.cumsum(oh, axis=1)                              # incl. rank
     tot = pref[:, -1, :]                                       # (G, K)

@@ -45,15 +45,16 @@ def test_keys_modes():
     d = jnp.asarray(rng_np.standard_normal((3, n)), jnp.float32)
     cap = jnp.full((n,), 1e30, jnp.float32).at[:7].set(-1.0)
     bb = jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32)
-    for mode in ("entry", "dir", "miss"):
+    for mode in ("entry", "dir", "miss", "entrydir"):
+        nk = binning.MODE_KEYS[mode]
         k = binning.keys(o[0], o[1], o[2], d[0], d[1], d[2], cap, bb,
                          1e-3, mode)
         kn = np.asarray(k)
-        assert ((kn >= 0) & (kn < binning.N_KEYS)).all()
-        assert (kn[:7] == binning.N_KEYS - 1).all()  # dead lanes -> last bin
+        assert ((kn >= 0) & (kn < nk)).all()
+        assert (kn[:7] == nk - 1).all()  # dead lanes -> last bin
 
 
-@pytest.mark.parametrize("mode", ["entry", "dir", "miss"])
+@pytest.mark.parametrize("mode", ["entry", "dir", "miss", "entrydir"])
 def test_binned_traversal_matches_plain(mode):
     rng_np = np.random.default_rng(13)
     v, f, n = uv_sphere(10, 14, center=(0.0, 0.0, -3.0))
