@@ -5,15 +5,16 @@ The reference ships exactly one rendered output: examples/sdl_quadrics.jpg
 sdl/quadric.sdl at 800x500. Rust cannot run in this image, so this is the
 one executable render-level parity check available: compare that artifact
 against this framework's committed render of the SAME scene
-(docs/renders/quadric_sdl_400x250_36spp.png, created by
-`python -m raysnail_tpu --scene sdl/quadric.sdl -w 400 --height 250
---samples 36`).
+(docs/renders/quadric_sdl_800x500_121spp.png, created by
+`python -m raysnail_tpu --scene sdl/quadric.sdl -w 800 --height 500
+--samples 122` — full reference resolution, 121 effective spp).
 
-Method: box-downsample the reference 2x to 400x250 (which also averages
-away much of its JPEG blocking + MC noise), then report PSNR, mean |diff|,
-percentiles, pixel correlation, and the in-tolerance fraction. Residuals
-are MC noise at 36spp plus silhouette-edge jitter; see
-docs/REFERENCE_PARITY.md for the recorded numbers and interpretation.
+Method: compare at the reference's native 800x500 (box-downsample only if
+`ours` is smaller), reporting PSNR, mean |diff|, percentiles, pixel
+correlation, and the in-tolerance fraction. Recorded round-4: PSNR
+38.6 dB / corr 0.9992 at 121 spp (the round-3 400x250@36spp comparison
+read 28.4 dB — noise-dominated, as VERDICT r3 suspected); see
+docs/REFERENCE_PARITY.md.
 
 Usage: python scripts/compare_reference.py
 """
@@ -27,7 +28,8 @@ from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_JPG = "/root/reference/examples/sdl_quadrics.jpg"
-OURS_PNG = os.path.join(REPO, "docs", "renders", "quadric_sdl_400x250_36spp.png")
+OURS_PNG = os.path.join(REPO, "docs", "renders",
+                        "quadric_sdl_800x500_121spp.png")
 
 
 def compare(ref_path: str = REF_JPG, ours_path: str = OURS_PNG) -> dict:
