@@ -416,6 +416,40 @@ def _run_isolated(name: str, timeout_s: int = 2400) -> dict:
         return {"error": f"{type(e).__name__}: {e}"}
 
 
+def _update_baseline_table(results: dict):
+    """Regenerate the measured-numbers table inside BASELINE.md from the
+    sweep that just ran, between the BENCH_TABLE markers — so the doc can
+    never go stale against BENCH_DETAILS.json again (VERDICT r3 item 2)."""
+    import datetime
+
+    path = os.path.join(REPO, "BASELINE.md")
+    try:
+        text = open(path).read()
+    except OSError:
+        return
+    b, e = "<!-- BENCH_TABLE_BEGIN -->", "<!-- BENCH_TABLE_END -->"
+    if b not in text or e not in text:
+        return
+    rows = ["| Config | Mrays/s | size | steady s | first-dispatch s |",
+            "|---|---|---|---|---|"]
+    for name, r in results.items():
+        if "error" in r:
+            rows.append(f"| {name} | ERROR: {r['error']} | | | |")
+            continue
+        mr = r.get("mrays_primary", r.get("mrays_fwd_bwd", 0.0))
+        kind = " (fwd+bwd)" if "mrays_fwd_bwd" in r else ""
+        rows.append(f"| {name}{kind} | **{mr}** | {r.get('size', '')} | "
+                    f"{r.get('steady_s', '')} | {r.get('compile_s', '')} |")
+    stamp = datetime.date.today().isoformat()
+    table = (f"{b}\n_Auto-generated by `bench.py --all` on {stamp}; raw "
+             f"numbers in BENCH_DETAILS.json._\n\n" + "\n".join(rows)
+             + f"\n{e}")
+    text = text[:text.index(b)] + table + text[text.index(e) + len(e):]
+    with open(path, "w") as f:
+        f.write(text)
+    log("updated BASELINE.md bench table")
+
+
 def main():
     import jax
 
@@ -454,6 +488,7 @@ def main():
             with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
                 json.dump({"device": str(dev), "results": results}, f, indent=2)
         log("wrote BENCH_DETAILS.json")
+        _update_baseline_table(results)
     else:
         results["example.sdl"] = _run_one("example.sdl", small)
         log(f"bench[example.sdl]: {results['example.sdl']}")
