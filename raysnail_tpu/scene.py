@@ -330,19 +330,14 @@ class _Tables:
 
 
 def _perlin_tables(spec: ir.Noise):
-    """Lattice tables (noise.rs:41-70) generated with a seeded host RNG (the
-    reference uses its thread rng; we want reproducibility)."""
-    r = np.random.default_rng(spec.seed + 12345)
-    n = texlib.PERLIN_POINTS
-    floats = r.random(n)
-    # random_unit: uniform on the sphere (vec3.rs:91-96)
-    a = r.random(n) * 2.0 * np.pi
-    z = r.random(n) * 2.0 - 1.0
-    rad = np.sqrt(1.0 - z * z)
-    vecs = np.stack([rad * np.cos(a), rad * np.sin(a), z], -1)
-    perms = np.stack([r.permutation(n) for _ in range(3)])
+    """Per-noise lattice parameters. The lattice VALUES are hash-derived on
+    the fly (textures._lattice_corner) — the explicit float/vec/perm tables
+    of noise.rs:41-70 became 44 serialized per-lane gathers per evaluation
+    on TPU (4x the whole book2 frame, scripts/ablate_book2.py); only the
+    seed, vector flag and smoothing mode remain."""
+    seed = np.uint32((spec.seed + 12345) & 0xFFFFFFFF)
     smooth = {"none": 0, "linear": 1, "hermitian": 2}[spec.smooth]
-    return floats, vecs, bool(spec.vector), perms, smooth
+    return seed, bool(spec.vector), smooth
 
 
 def _compile(builder: SceneBuilder, dtype) -> Scene:
@@ -581,13 +576,12 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             wh.append((img.shape[1], img.shape[0]))
         atlas = jnp.asarray(atlas_np)
         atlas_wh = jnp.asarray(wh, jnp.int32)
-    perlin_float = perlin_vec = perlin_is_vec = perm = perlin_smooth = None
+    perlin_seed = perlin_is_vec = perlin_smooth = None
     if tables.perlins:
-        perlin_float = f32(np.asarray([p[0] for p in tables.perlins]))
-        perlin_vec = f32(np.asarray([p[1] for p in tables.perlins]))
-        perlin_is_vec = jnp.asarray([p[2] for p in tables.perlins])
-        perm = jnp.asarray(np.asarray([p[3] for p in tables.perlins]), jnp.int32)
-        perlin_smooth = jnp.asarray([p[4] for p in tables.perlins], jnp.int32)
+        perlin_seed = jnp.asarray(
+            np.asarray([p[0] for p in tables.perlins], np.uint32))
+        perlin_is_vec = jnp.asarray([p[1] for p in tables.perlins])
+        perlin_smooth = jnp.asarray([p[2] for p in tables.perlins], jnp.int32)
 
     texture_table = texlib.TextureTable(
         ttype=jnp.asarray([r["ttype"] for r in tr], jnp.int32),
@@ -600,8 +594,8 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         child2=jnp.asarray([r["child2"] for r in tr], jnp.int32),
         atlas=atlas, atlas_wh=atlas_wh,
         perlin_id=jnp.asarray([r["perlin_id"] for r in tr], jnp.int32),
-        perlin_float=perlin_float, perlin_vec=perlin_vec,
-        perlin_is_vec=perlin_is_vec, perlin_smooth=perlin_smooth, perm=perm,
+        perlin_seed=perlin_seed,
+        perlin_is_vec=perlin_is_vec, perlin_smooth=perlin_smooth,
     )
 
     mr = tables.mat_rows

@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raysnail_tpu.prelude.vec import Vec3
 
@@ -47,13 +48,20 @@ class TextureTable(NamedTuple):
     # image atlas (None when the scene has no image textures)
     atlas: jax.Array | None = None       # (I, maxH, maxW, 3) float32
     atlas_wh: jax.Array | None = None    # (I, 2) int32 (width, height)
-    # perlin tables (None when the scene has no perlin textures)
+    # perlin lattice (None when the scene has no perlin textures). The
+    # lattice is HASH-based: no float/vec/perm tables — the reference's
+    # perm_x[i]^perm_y[j]^perm_z[k] table walk (noise.rs:85-95) became 44
+    # per-lane dynamic gathers per evaluation, which XLA serializes on TPU;
+    # the book2 ablation measured the Perlin texture alone at 4x the whole
+    # frame (scripts/ablate_book2.py: full 0.54 vs no-perlin 2.22 Mrays/s).
+    # An fmix32 avalanche hash of the lattice point reproduces the same
+    # value DISTRIBUTIONS (floats uniform [0,1), gradients uniform on the
+    # sphere) in pure VPU arithmetic. Deviation documented in PARITY.md
+    # (the reference's field is thread-rng seeded and unreplayable anyway).
     perlin_id: jax.Array | None = None      # (T,) int32 row into tables, -1
-    perlin_float: jax.Array | None = None   # (P, 256)
-    perlin_vec: jax.Array | None = None     # (P, 256, 3) gradient lattice
+    perlin_seed: jax.Array | None = None    # (P,) uint32 lattice seed
     perlin_is_vec: jax.Array | None = None  # (P,) bool
     perlin_smooth: jax.Array | None = None  # (P,) int32: 0 none/1 linear/2 hermitian
-    perm: jax.Array | None = None           # (P, 3, 256) int32 perm_x/y/z
 
 
 def _checker_sign(table, tid, p: Vec3):
@@ -86,12 +94,38 @@ def _image(table, tid, u, v) -> Vec3:
     return Vec3(rgb[..., 0], rgb[..., 1], rgb[..., 2])
 
 
+def _lattice_corner(seed, xi, yi, zi):
+    """(fval, gx, gy, gz) for one lattice point from an fmix32 avalanche
+    hash — fval uniform [0,1), g uniform on the unit sphere (the same
+    distributions _perlin_tables drew from its seeded host RNG; the
+    reference draws from its thread rng, noise.rs:41-70 / vec3.rs:91-96).
+    Pure register arithmetic: no tables, nothing for XLA to serialize."""
+    from raysnail_tpu.prelude.rng import _fmix32
+
+    h = jnp.asarray(xi, jnp.uint32) * jnp.uint32(0x8DA6B343)
+    h = h ^ (jnp.asarray(yi, jnp.uint32) * jnp.uint32(0xD8163841))
+    h = h ^ (jnp.asarray(zi, jnp.uint32) * jnp.uint32(0xCB1AB31F))
+    h = _fmix32(h ^ seed)
+    h2 = _fmix32(h ^ jnp.uint32(0x68BC21EB))
+    h3 = _fmix32(h2 ^ jnp.uint32(0x02E5BE93))
+    to_u = lambda x: (x >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / 16777216.0)
+    u1, u2, fval = to_u(h), to_u(h2), to_u(h3)
+    # random_unit construction (vec3.rs:91-96): azimuth + uniform z
+    a = (2.0 * np.pi) * u1
+    z = 2.0 * u2 - 1.0
+    rad = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return fval, rad * jnp.cos(a), rad * jnp.sin(a), z
+
+
 def _perlin_noise(table, pid, p: Vec3):
     """Lattice noise with the reference's three smoothing modes
     (noise.rs:97-137, 156-189), vectorized with the 8 corners unrolled.
     smooth codes: 0=none (nearest lattice point at 4x scale), 1=linear,
-    2=hermitian cubic."""
+    2=hermitian cubic. Lattice values come from _lattice_corner's hash
+    (see TextureTable: the table-gather version measured 4x the whole
+    book2 frame on TPU)."""
     smooth = table.perlin_smooth[pid]
+    seed = table.perlin_seed[pid]
 
     i = jnp.floor(p.x).astype(jnp.int32)
     j = jnp.floor(p.y).astype(jnp.int32)
@@ -104,24 +138,15 @@ def _perlin_noise(table, pid, p: Vec3):
     vv = jnp.where(hermite, v * v * (3.0 - 2.0 * v), v)
     ww = jnp.where(hermite, w * w * (3.0 - 2.0 * w), w)
 
-    mask = PERLIN_POINTS - 1
     is_vec = table.perlin_is_vec[pid]
     total = jnp.zeros_like(u)
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                xi = (i + di) & mask
-                yi = (j + dj) & mask
-                zi = (k + dk) & mask
-                idx = (
-                    table.perm[pid, 0, xi]
-                    ^ table.perm[pid, 1, yi]
-                    ^ table.perm[pid, 2, zi]
-                )
-                fval = table.perlin_float[pid, idx]
-                g = table.perlin_vec[pid, idx]  # (N, 3)
+                fval, gx, gy, gz = _lattice_corner(seed, i + di, j + dj,
+                                                   k + dk)
                 weight_v = (
-                    g[..., 0] * (u - di) + g[..., 1] * (v - dj) + g[..., 2] * (w - dk)
+                    gx * (u - di) + gy * (v - dj) + gz * (w - dk)
                 )
                 corner = jnp.where(is_vec, weight_v, fval)
                 wgt = (
@@ -132,15 +157,12 @@ def _perlin_noise(table, pid, p: Vec3):
                 total = total + wgt * corner
 
     # SmoothType::None (noise.rs:99-110): nearest lattice point at 4x scale
-    ni = (4.0 * p.x).astype(jnp.int32) & mask
-    nj = (4.0 * p.y).astype(jnp.int32) & mask
-    nk = (4.0 * p.z).astype(jnp.int32) & mask
-    nidx = table.perm[pid, 0, ni] ^ table.perm[pid, 1, nj] ^ table.perm[pid, 2, nk]
-    none_val = jnp.where(
-        table.perlin_is_vec[pid],
-        table.perlin_vec[pid, nidx][..., 0],  # Vector branch returns v.x
-        table.perlin_float[pid, nidx],
-    )
+    ni = (4.0 * p.x).astype(jnp.int32)
+    nj = (4.0 * p.y).astype(jnp.int32)
+    nk = (4.0 * p.z).astype(jnp.int32)
+    nf, ngx, _, _ = _lattice_corner(seed, ni, nj, nk)
+    # Vector branch returns v.x (noise.rs:104-108)
+    none_val = jnp.where(table.perlin_is_vec[pid], ngx, nf)
     return jnp.where(smooth == 0, none_val, total)
 
 

@@ -68,8 +68,7 @@ def test_image_texture_v_flip_and_clamp():
         atlas=jnp.asarray(img)[None],
         atlas_wh=jnp.asarray([[2, 2]], jnp.int32),
         perlin_id=jnp.zeros(1, jnp.int32),
-        perlin_float=None, perlin_vec=None, perlin_is_vec=None,
-        perlin_smooth=None, perm=None,
+        perlin_seed=None, perlin_is_vec=None, perlin_smooth=None,
     )
     tid = jnp.zeros(4, jnp.int32)
     # v=1 is the image TOP (v flipped, image.rs:38); u=0 left

@@ -47,7 +47,7 @@ def test_book2_compiles_and_renders():
     assert scene.static.n_media == 2
     assert scene.arrays.triangles is None
     assert scene.arrays.textures.atlas is not None    # image texture
-    assert scene.arrays.textures.perlin_float is not None
+    assert scene.arrays.textures.perlin_seed is not None
     assert scene.static.moving                         # motion blur
     cam = book2.book2_camera(CFG.width, CFG.height)
     img = renderlib.render(scene, cam, CFG.replace(samples=4), seed=0)
