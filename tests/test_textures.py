@@ -102,3 +102,33 @@ def test_checker_constant_children_unchanged():
     p = Vec3.full((0.5, 0.5, 0.5), (n,))
     c = texlib.evaluate(t, tid, jnp.zeros(n), jnp.zeros(n), p, modes)
     np.testing.assert_allclose(np.asarray(c.to_array())[0], [0, 1, 0], atol=1e-6)
+
+
+def test_perlin_hash_deterministic_and_seeded():
+    """Hash lattice (textures._lattice_corner): same seed reproduces the
+    field exactly; different seeds decorrelate it; float values live in
+    [0,1) and gradients on the unit sphere."""
+    n = 512
+    rng = np.random.default_rng(3)
+    p = Vec3.from_array(jnp.asarray(rng.uniform(-8, 8, (n, 3)), jnp.float32))
+
+    def field(seed):
+        t, modes, scene = table_for(
+            ir.Noise(kind="normal", scale=1.0, vector=True, seed=seed))
+        tex_id = scene.arrays.materials.tex_id[scene.arrays.spheres.mat_id[0]]
+        tid = jnp.full(n, tex_id, jnp.int32)
+        return np.asarray(
+            texlib.evaluate(t, tid, jnp.zeros(n), jnp.zeros(n), p, modes).x)
+
+    a1, a2, b = field(0), field(0), field(1)
+    np.testing.assert_array_equal(a1, a2)          # reproducible
+    assert np.abs(a1 - b).max() > 1e-3             # seeds decorrelate
+
+    # raw corner distributions
+    xi = jnp.asarray(rng.integers(-1000, 1000, n), jnp.int32)
+    yi = jnp.asarray(rng.integers(-1000, 1000, n), jnp.int32)
+    zi = jnp.asarray(rng.integers(-1000, 1000, n), jnp.int32)
+    f, gx, gy, gz = texlib._lattice_corner(jnp.uint32(7), xi, yi, zi)
+    f, gx, gy, gz = map(np.asarray, (f, gx, gy, gz))
+    assert (f >= 0).all() and (f < 1).all()
+    np.testing.assert_allclose(gx * gx + gy * gy + gz * gz, 1.0, atol=1e-5)
