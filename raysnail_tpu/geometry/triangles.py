@@ -280,7 +280,13 @@ def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
         take = lambda a: jnp.take(a, order)
         ox, oy, oz, dx, dy, dz, cap = map(take, (ox, oy, oz, dx, dy, dz, cap))
 
-    pad = (-n) % bvh_pallas.TILE_R
+    padq = bvh_pallas.TILE_R
+    if bin_mode != "never":
+        # binning sorts within B-lane supertiles: pad to a common multiple
+        # (extra lanes are dead -> compact to the tail -> packets skip)
+        assert binning.B % padq == 0 or padq % binning.B == 0, binning.B
+        padq = max(padq, binning.B)
+    pad = (-n) % padq
 
     def p(a):
         return jnp.pad(a, (0, pad)) if pad else a

@@ -35,7 +35,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-B = 1024  # supertile = one kernel grid program (bvh_pallas.TILE_R)
+import os
+
+# Supertile size: lanes sorted together. Must be a multiple of the kernel
+# packet (128); callers pad ray batches to a multiple of B. Default = one
+# kernel grid program (bvh_pallas.TILE_R). Perf-probe env knob, captured
+# at import (bench A/Bs run per-config subprocesses): larger B = more
+# sorting freedom, P traffic grows linearly in B.
+B = int(os.environ.get("RAYSNAIL_BIN_B", "1024"))
 N_KEYS = 9  # 8 entry/dir octants + 1 miss/dead bin
 
 # bins per mode (miss/dead bin is always the last key)
