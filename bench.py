@@ -374,6 +374,16 @@ def _wait_for_device(max_tries: int = 4):
 
 def _run_one(name: str, small: bool) -> dict:
     """Run a single named config in THIS process and return its result dict."""
+    if name == "control":
+        # PINNED-CODE drift control (scripts/drift_control.py, frozen r5):
+        # measures only session conditions, so cross-round ratios can be
+        # normalized as (config/control) per session (VERDICT r4 item 6)
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        import drift_control
+        r = drift_control.measure()
+        r["mrays_primary"] = r.pop("control_units")  # Mlane-iters/s
+        r["size"] = "pinned-400k-lane control"
+        return r
     if name == "example-fwd+bwd":
         return _time_grad_step(small)
     if name == "example-fwd+bwd-800x500":
@@ -428,7 +438,9 @@ def _update_baseline_table(results: dict):
     except OSError:
         return
     b, e = "<!-- BENCH_TABLE_BEGIN -->", "<!-- BENCH_TABLE_END -->"
-    if b not in text or e not in text:
+    if b not in text or e not in text or text.index(b) >= text.index(e):
+        # missing or OUT-OF-ORDER markers (a stray duplicate after a manual
+        # edit would otherwise duplicate the inter-marker region): bail out
         return
     rows = ["| Config | Mrays/s | size | steady s | first-dispatch s |",
             "|---|---|---|---|---|"]
@@ -478,8 +490,8 @@ def main():
 
     results = {}
     if run_all:
-        names = list(_configs(small)) + ["example-fwd+bwd",
-                                         "example-fwd+bwd-800x500"]
+        names = (["control"] + list(_configs(small))
+                 + ["example-fwd+bwd", "example-fwd+bwd-800x500"])
         for name in names:
             results[name] = _run_isolated(name)
             log(f"bench[{name}]: {results[name]}")

@@ -112,6 +112,17 @@ class RenderConfig:
                                  # the config so changing it RETRACES — the
                                  # env var alone is captured at first trace
                                  # (ADVICE r3).
+    regen_window: int = 0        # sliding-window width W for the regen-shuffle
+                                 # per-cell radiance table: the (N, C) table —
+                                 # whose HBM carry traffic is the canonical
+                                 # frame's largest bookkeeping term
+                                 # (BASELINE.md breakdown: ~245 us/iter at
+                                 # C=21) — shrinks to (N, W); finished columns
+                                 # retire into the pixel accumulator by a
+                                 # uniform roll as soon as every lane passes
+                                 # them, and a lane stalls (rare) only when
+                                 # > W-1 cells ahead of the slowest lane.
+                                 # 0 = full-width table (no window).
     rng: str = "auto"            # "auto" (= fast) | "fast" (counter-hash) | "threefry"
     # fast = murmur3-fmix32 counter hash: 4x on CPU and +62% end-to-end on
     # TPU v5e (measured after dispatch batching; an earlier 10x-slower TPU

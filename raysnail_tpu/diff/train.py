@@ -112,7 +112,7 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         img = render_image_diff(scene, camera, cfg, params, key, ids)
         return img  # sums*(1/1) == the cell's radiance
 
-    def fast_mean_image(params, key, ids):
+    def fast_mean_image(params, key, ids, contiguous):
         """Pass-1 forward: the mean image under the FAST forward policies.
         Pass 1 is stop_gradient'd — it only supplies the loss and the
         cotangent dL/d(mean image) — so it need not run the
@@ -123,12 +123,18 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         trip count barely concentrates while paying regen bookkeeping).
         Keying is (seed, pixel, sample, bounce) in both integrators, so the
         estimate matches the scan forward modulo f32 summation order
-        (~1e-6)."""
+        (~1e-6).
+
+        The regen fast path renders cells [ids[0], ids[0] + len(ids)) — it
+        requires `ids` to be a contiguous ascending range. `contiguous` is
+        checked from the CONCRETE ids at the step() call site (ADVICE r4);
+        non-contiguous batches fall back to sample_sums, which takes the ids
+        verbatim."""
         from raysnail_tpu import integrator
 
         arrays = inject_params(scene.arrays, params)
         backend = "fast" if cfg.rng == "auto" else cfg.rng
-        if (backend == "fast" and cfg.path_regen != "never"
+        if (contiguous and backend == "fast" and cfg.path_regen != "never"
                 and not cfg.wavefront_sort):
             sums, _ = integrator.radiance_regen_shuffle(
                 scene, arrays, cfg, camera, key, int(ids.shape[0]), ids[0])
@@ -141,8 +147,10 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                                          ids, px.ravel(), py.ravel())
         return sums * (1.0 / ids.shape[0])
 
-    @jax.jit
-    def step(params, opt_state, key, sample_ids):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("contiguous",))
+    def _step(params, opt_state, key, sample_ids, contiguous=True):
         s = sample_ids.shape[0]
         if one_shot_max >= s:
             loss_fn = make_loss_fn(scene, camera, cfg, target)
@@ -152,7 +160,7 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
             # no residuals, no gradients) — the scan integrator is only
             # needed inside the per-cell VJPs below
             img = jax.lax.stop_gradient(fast_mean_image(
-                params, key, sample_ids))
+                params, key, sample_ids, contiguous))
             d = img - target_flat
             loss = 0.5 * jnp.mean(d.dot(d))
             # dL/d(mean image) = d / n_pix (d.dot(d) sums channels, mean is
@@ -169,5 +177,21 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, key, sample_ids):
+        """Contiguity of `sample_ids` is checked here, on the CONCRETE array,
+        and routed into the jit as a static flag: the pass-1 regen fast path
+        assumes a contiguous ascending cell range (ADVICE r4). Callers that
+        pass already-traced ids (none in-tree) inherit the documented
+        contiguous-ids contract."""
+        import numpy as np
+        try:
+            a = np.asarray(sample_ids)
+            contiguous = bool(np.array_equal(
+                a, (a[0] if a.size else 0) + np.arange(a.shape[0])))
+        except Exception:  # traced ids: the contract is contiguity
+            contiguous = True
+        return _step(params, opt_state, key, jnp.asarray(sample_ids),
+                     contiguous=contiguous)
 
     return step, opt_state0, params0

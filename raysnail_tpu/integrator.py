@@ -122,8 +122,13 @@ def _pallas_policy(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         mesh_sort=cfg.mesh_sort,
         # "auto" resolves to the measured-best supertile binning mode on
         # accelerators (A/B on mesh+arealight, v5e: never 1.14 / miss 1.28 /
-        # dir 1.34 / entry 1.48 Mrays/s); binning only costs on CPU interpret
-        mesh_bin=(("entry" if mesh_pallas and not on_cpu else "never")
+        # dir 1.34 / entry 1.48 Mrays/s); binning only costs on CPU interpret.
+        # mesh_sort (the whole-batch octant argsort) and binning are mutually
+        # exclusive orderings — triangles.intersect_pallas asserts order is
+        # None when bin_mode != "never" — so "auto" defers to an explicit
+        # mesh_sort=True (ADVICE r4).
+        mesh_bin=(("entry" if mesh_pallas and not on_cpu and not cfg.mesh_sort
+                   else "never")
                   if cfg.mesh_bin == "auto" else cfg.mesh_bin),
         sphere_bvh=sphere_bvh,
         sphere_bvh_interpret=sphere_bvh and on_cpu,
@@ -471,54 +476,107 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                           cfg.width, cfg.height, keys_s)
         return r, keys_s
 
+    # sliding-window cell table (cfg.regen_window = W < C): the (N, C) f32
+    # radiance tables' HBM carry traffic is the canonical frame's largest
+    # bookkeeping term (BASELINE.md breakdown: ~245 us/iter of the 463 us
+    # residual at C=21). With a window, cells land in column k % W; column r
+    # retires into the pixel accumulator by ONE uniform roll (cell r is the
+    # same cell index for every lane, so its slot->pixel shift r*S is
+    # uniform) as soon as every lane is past it, and a lane stalls only when
+    # it would run W cells ahead of the slowest lane (law-of-large-numbers
+    # concentration makes that rare at W ~ 6-8).
+    W = min(C, cfg.regen_window) if cfg.regen_window > 0 else C
+    colsW = jnp.arange(W, dtype=jnp.int32)
+
     def chunk(carry, cs0):
         L_pix, it0 = carry
         k0 = jnp.zeros(n_pix, jnp.int32)
         r0, _ = new_ray(k0, cs0)
-        zt = jnp.zeros((n_pix, C), dtype)
+        zt = jnp.zeros((n_pix, W), dtype)
         st0 = (k0, jnp.zeros(n_pix, jnp.int32),
                r0.origin, r0.direction, r0.time,
                Vec3.ones((n_pix,), dtype),
                zt, zt, zt,
-               jnp.ones(n_pix, bool), it0)
+               jnp.ones(n_pix, bool), it0,
+               jnp.asarray(0, jnp.int32), L_pix)
 
         def cond(st):
             return jnp.any(st[0] < C)
 
+        def retire_one(r, tx, ty, tz, L_pix):
+            """Fold column r % W (cell index r, every lane) into the pixel
+            accumulator with its uniform slot->pixel roll, zero it, r += 1."""
+            col = r % W
+            shift = (r * S) % n_pix
+            sl = lambda t: jax.lax.dynamic_slice_in_dim(t, col, 1, 1)[:, 0]
+            L_pix = L_pix + Vec3(jnp.roll(sl(tx), shift),
+                                 jnp.roll(sl(ty), shift),
+                                 jnp.roll(sl(tz), shift))
+            z = jnp.zeros((n_pix, 1), dtype)
+            upd = lambda t: jax.lax.dynamic_update_slice(t, z, (0, col))
+            return r + 1, upd(tx), upd(ty), upd(tz), L_pix
+
         def body(st):
-            k, b, o, d, time, T, tx, ty, tz, alive, it = st
+            k, b, o, d, time, T, tx, ty, tz, alive, it, r, L_pix = st
             p, _, _ = lane_pixel(k)
             keys_s = prng.fold_all(prng.fast_streams(key, p), cs0 + k)
             kb = prng.fold_all(keys_s, b)
             o, d, T, L_add, alive2 = shade(
                 arrays, Ray(origin=o, direction=d, time=time), T,
                 Vec3.zeros((n_pix,), dtype), alive, kb)
-            oh = (k[:, None] == cols[None, :]).astype(dtype)  # (N, C)
+            oh = ((k % W)[:, None] == colsW[None, :]).astype(dtype)  # (N, W)
             tx = tx + oh * L_add.x[:, None]
             ty = ty + oh * L_add.y[:, None]
             tz = tz + oh * L_add.z[:, None]
             alive2 = alive2 & (b + 1 < cfg.max_depth)
             done = alive & (~alive2)
             k = k + done.astype(jnp.int32)
-            regen = done & (k < C)
+            if W < C:
+                # retire at most one column per iteration (the slowest lane
+                # gates retirement, so it advances ~1 cell per mean path
+                # length anyway); skipped entirely when nothing can retire
+                can = (r < jnp.min(k)) & (r < C)
+                r, tx, ty, tz, L_pix = jax.lax.cond(
+                    can, retire_one, lambda r, a, bb, c, L: (r, a, bb, c, L),
+                    r, tx, ty, tz, L_pix)
+                want = (~alive2) & (k < C)
+                regen = want & (k < r + W)
+            else:
+                regen = done & (k < C)
             rn, _ = new_ray(k, cs0)
             o = Vec3.where(regen, rn.origin, o)
             d = Vec3.where(regen, rn.direction, d)
             time = jnp.where(regen, rn.time, time)
             T = Vec3.where(regen, Vec3.ones((n_pix,), dtype), T)
-            b = jnp.where(done, 0, b + 1)
+            b = jnp.where(alive2, b + 1, 0)
             alive = alive2 | regen
-            return k, b, o, d, time, T, tx, ty, tz, alive, it + 1
+            return (k, b, o, d, time, T, tx, ty, tz, alive, it + 1, r, L_pix)
 
         out = jax.lax.while_loop(cond, body, st0)
         tx, ty, tz, it = out[6], out[7], out[8], out[10]
-        # regroup: column k's row i is lane slot (i + k*S) mod N -> roll
-        # forward (slot == pixel unless tile mode; see below)
-        for k in range(C):
-            shift = (k * S) % n_pix
-            L_pix = L_pix + Vec3(jnp.roll(tx[:, k], shift),
-                                 jnp.roll(ty[:, k], shift),
-                                 jnp.roll(tz[:, k], shift))
+        r, L_pix = out[11], out[12]
+        if W < C:
+            # columns r..C-1 (at most W of them: no lane ever started a cell
+            # >= r + W) are still unretired
+            for off in range(W):
+                j = r + off
+                do = j < C
+                col = j % W
+                sl = lambda t: jax.lax.dynamic_slice_in_dim(t, col, 1, 1)[:, 0]
+                shift = (j * S) % n_pix
+                zero = jnp.zeros((n_pix,), dtype)
+                L_pix = L_pix + Vec3(
+                    jnp.where(do, jnp.roll(sl(tx), shift), zero),
+                    jnp.where(do, jnp.roll(sl(ty), shift), zero),
+                    jnp.where(do, jnp.roll(sl(tz), shift), zero))
+        else:
+            # regroup: column k's row i is lane slot (i + k*S) mod N -> roll
+            # forward (slot == pixel unless tile mode; see below)
+            for k in range(C):
+                shift = (k * S) % n_pix
+                L_pix = L_pix + Vec3(jnp.roll(tx[:, k], shift),
+                                     jnp.roll(ty[:, k], shift),
+                                     jnp.roll(tz[:, k], shift))
         return (L_pix, it), None
 
     cs0s = jnp.asarray(s0, jnp.int32) + jnp.arange(n_chunks, dtype=jnp.int32) * C

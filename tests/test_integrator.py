@@ -163,6 +163,38 @@ def test_regen_chunk_width_is_invariant(monkeypatch):
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4)
 
 
+def test_regen_window_is_invariant():
+    """cfg.regen_window (sliding-window cell table) is a pure perf knob:
+    the same cells accumulate the same contributions, just retiring into
+    the pixel accumulator mid-loop via uniform rolls instead of all at the
+    end — only float-reassociation noise may differ. Stalls (a lane > W-1
+    cells ahead of the slowest) must change scheduling, not values."""
+    import jax
+
+    from raysnail_tpu.integrator import radiance_regen_shuffle
+    from raysnail_tpu.prelude import rng as prng
+    from raysnail_tpu.sdl import build_scene
+    import os
+
+    cfg0 = RenderConfig(width=24, height=16, samples=16, max_depth=4,
+                        regen_chunk_cap=16)
+    scene, cam = build_scene(
+        os.path.join(os.path.dirname(__file__), "..", "sdl", "example.sdl"),
+        cfg0)
+    key = prng.key(3)
+
+    outs = []
+    for w in (0, 3, 8):  # full table, tight window (stalls), pow2 window
+        cfg = cfg0.replace(regen_window=w)
+        sums, _ = jax.jit(
+            lambda arrays, cfg=cfg: radiance_regen_shuffle(
+                scene, arrays, cfg, cam, key, cfg.effective_samples)
+        )(scene.arrays)
+        outs.append(np.asarray(sums.to_array()))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-4)
+
+
 def test_regen_shuffle_tiled_packets_invariant():
     """When a packet traversal kernel is active, the regen shuffle rotates
     at PACKET granularity with tile-decoded lanes; the estimate must equal
