@@ -181,13 +181,6 @@ def _configs(small: bool):
         book2.all_feature_scene(7).compile(),
         book2.book2_camera(cfgb2.width, cfgb2.height), cfgb2, 1,
     )
-    # same scene with per-bounce live-lane compaction, for the A/B the
-    # round-1 verdict asked for (SURVEY's "central kernel-design problem")
-    out["book2-wavefront"] = lambda: (
-        book2.all_feature_scene(7).compile(),
-        book2.book2_camera(cfgb2.width, cfgb2.height),
-        cfgb2.replace(wavefront_sort=True), 1,
-    )
 
     # cornell box with smoke cartons (subsurface-style media + rect lights)
     cfgc = RenderConfig(width=100 if small else 400, height=100 if small else 400,

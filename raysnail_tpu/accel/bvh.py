@@ -119,6 +119,38 @@ def build_bvh(prim_bb_min: np.ndarray, prim_bb_max: np.ndarray,
     return build_bvh_numpy(prim_bb_min, prim_bb_max, leaf_size)
 
 
+def coarse_cut(count: np.ndarray, miss: np.ndarray,
+               max_entries: int = 64, min_t: int = 8) -> list[tuple[int, int]]:
+    """Coarse cut for the TWO-LEVEL traversal walk (ops/bvh_pallas.py): a
+    partition of the tree into <= max_entries complete subtrees, each
+    spanning the contiguous DFS range [start, end). The kernel vector-tests
+    the cut roots' bboxes in 8-wide windows (pure VPU work, one packed-bits
+    scalar transfer per window) and only runs the serial link-resolution
+    walk INSIDE admitted subtrees — replacing the scalar chase through the
+    above-cut levels that every packet paid per outer round.
+
+    Works on any DFS/skip-link linearization (miss[i] = first node after
+    subtree(i)), so the per-octant orders of relinearize_octants cut the
+    same subtree SIZES at different indices."""
+    m = count.shape[0]
+    t = min_t
+    while True:
+        cuts: list[tuple[int, int]] = []
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            end = int(miss[i]) if int(miss[i]) > i else m
+            if count[i] > 0 or end - i <= t:
+                cuts.append((i, end))
+            else:
+                left = i + 1
+                stack.append(int(miss[left]))  # right sibling (popped second)
+                stack.append(left)
+        if len(cuts) <= max_entries:
+            return cuts
+        t *= 2
+
+
 def build_bvh_numpy(prim_bb_min, prim_bb_max, leaf_size: int = LEAF_SIZE) -> BvhArrays:
     prim_bb_min = np.asarray(prim_bb_min, np.float64)
     prim_bb_max = np.asarray(prim_bb_max, np.float64)

@@ -86,9 +86,6 @@ class RenderConfig:
                                  # (scripts/alive_stats.py). "never" forces
                                  # the per-sample scan loop (the gradient
                                  # path always uses it).
-    wavefront_sort: bool = False # stable-partition live rays to the front each
-                                 # bounce (argsort + gathers vs denser packets
-                                 # — measured per scene in bench --all)
     mesh_sort: bool = False      # octant-sort rays into coherent packets before
                                  # the pallas mesh traversal (no-op on other paths).
                                  # Off: measured net loss at <=10k tris (argsort +

@@ -38,6 +38,8 @@ class BoxGroup(NamedTuple):
     pk_bb: jax.Array | None = None     # (K, M, 8) f32
     pk_links: jax.Array | None = None  # (K, M, 4) i32
     pk_box: jax.Array | None = None    # (B', 8, 128) f32
+    pk_cbb: jax.Array | None = None    # (K, 64, 8) f32 two-level coarse cut
+    pk_crange: jax.Array | None = None # (K, 64, 4) i32 [start, end) ranges
 
 
 def _apply_rows(rows, off, v: Vec3, translate: bool) -> Vec3:
@@ -178,6 +180,7 @@ def intersect_pallas(group: BoxGroup, ray, t_min, t_max,
         group.pk_bb, group.pk_links, group.pk_box,
         jnp.float32(t_min), jnp.float32(t_max), kind="box",
         interpret=interpret,
+        cbb=group.pk_cbb, crange=group.pk_crange,
     )
     t, axis_f, near_f, u, v, mat = (a[:n] for a in
                                     (t, axis_f, near_f, u, v, mat))

@@ -156,8 +156,9 @@ import os as _os
 BLOCK = int(_os.environ.get("RAYSNAIL_BULB_BLOCK", str(32 * 1024)))
 
 
-def _march_block(o: Vec3, d: Vec3, t0, t_exit, done0):
-    """Sphere-trace one block; returns (t, hit_mask, normal, uv)."""
+def _march_steps(o: Vec3, d: Vec3, t0, t_exit, done0, hit0, max_steps):
+    """Sphere-trace one block for up to max_steps; no normal evaluation.
+    Returns (t, done, hit_mask); exits as soon as every lane is done."""
     def body(state):
         t, done, hit_mask, i = state
         p = o + d * t
@@ -169,9 +170,22 @@ def _march_block(o: Vec3, d: Vec3, t0, t_exit, done0):
         return t_next, done_next, hit_mask | hit_now, i + 1
 
     t, done, hit_mask, _ = jax.lax.while_loop(
-        lambda s: (s[3] < MAX_STEPS) & jnp.any(~s[1]), body,
-        (t0, done0, jnp.zeros(jnp.shape(t0), bool), jnp.asarray(0, jnp.int32)),
+        lambda s: (s[3] < max_steps) & jnp.any(~s[1]), body,
+        (t0, done0, hit0, jnp.asarray(0, jnp.int32)),
     )
+    return t, done, hit_mask
+
+
+def _march_block(o: Vec3, d: Vec3, t0, t_exit, done0,
+                 hit0=None, max_steps: int = MAX_STEPS,
+                 normals: bool = True):
+    """Sphere-trace one block; returns (t, done, hit_mask, normal, uv)."""
+    if hit0 is None:
+        hit0 = jnp.zeros(jnp.shape(t0), bool)
+    t, done, hit_mask = _march_steps(o, d, t0, t_exit, done0, hit0, max_steps)
+    if not normals:
+        z = jnp.zeros_like(t)
+        return t, done, hit_mask, z, z, jnp.ones_like(t), z, z
 
     def finish(t):
         p = o + d * t
@@ -193,7 +207,7 @@ def _march_block(o: Vec3, d: Vec3, t0, t_exit, done0):
 
     # central-difference normals (6 more DE evals) only for blocks that hit
     t, nx, ny, nz, u, v = jax.lax.cond(jnp.any(hit_mask), finish, no_hit, t)
-    return t, hit_mask, nx, ny, nz, u, v
+    return t, done, hit_mask, nx, ny, nz, u, v
 
 
 class MandelbulbNode(NamedTuple):
@@ -228,22 +242,57 @@ class MandelbulbNode(NamedTuple):
         pads = lambda a, val: (jnp.pad(a, (0, pad), constant_values=val)
                                if pad else a)
         shape2 = (-1, block)
-        ob = o.map(lambda a: pads(a, 0.0).reshape(shape2))
-        db = d.map(lambda a: pads(a, 1.0).reshape(shape2))
-        t0b = pads(t0, BIG).reshape(shape2)
-        teb = pads(t_exit, 0.0).reshape(shape2)
-        d0b = pads(done0, True).reshape(shape2)
 
-        def step(_, xs):
-            ox, oy, oz, dx, dy, dz, t0_, te_, dn_ = xs
-            return None, _march_block(Vec3(ox, oy, oz), Vec3(dx, dy, dz),
-                                      t0_, te_, dn_)
+        def blocked_march(ox, oy, oz, dx, dy, dz, t0_, te_, dn_, h0_,
+                          max_steps, normals):
+            xs = tuple(a.reshape(shape2)
+                       for a in (ox, oy, oz, dx, dy, dz, t0_, te_, dn_, h0_))
 
-        _, (t, hit_mask, nx, ny, nz, u, v) = jax.lax.scan(
-            step, None,
-            (ob.x, ob.y, ob.z, db.x, db.y, db.z, t0b, teb, d0b),
-        )
-        flat = lambda a: a.reshape(-1)[:n]
+            def step(_, x):
+                return None, _march_block(
+                    Vec3(x[0], x[1], x[2]), Vec3(x[3], x[4], x[5]),
+                    x[6], x[7], x[8], hit0=x[9], max_steps=max_steps,
+                    normals=normals)
+
+            _, out = jax.lax.scan(step, None, xs)
+            return tuple(a.reshape(-1) for a in out)
+
+        ox, oy, oz = (pads(a, 0.0) for a in (o.x, o.y, o.z))
+        dx, dy, dz = (pads(a, 1.0) for a in (d.x, d.y, d.z))
+        t0p = pads(t0, BIG)
+        tep = pads(t_exit, 0.0)
+        d0p = pads(done0, True)
+        h0p = jnp.zeros_like(d0p)
+
+        k1 = int(_os.environ.get("RAYSNAIL_BULB_K1", "16"))
+        if k1 >= MAX_STEPS or _os.environ.get("RAYSNAIL_BULB_COMPACT") == "0":
+            # single-phase path (the pre-r5 scheme; perf A/B)
+            t, _, hit_mask, nx, ny, nz, u, v = blocked_march(
+                ox, oy, oz, dx, dy, dz, t0p, tep, d0p, h0p,
+                MAX_STEPS, True)
+        else:
+            # LANE-COMPACTED two-phase march (the reference's per-ray early
+            # exits, raymarching.rs:108-160, reborn as static-shape
+            # compaction): phase 1 marches k1 steps un-compacted — most
+            # rays hit or overshoot within ~16 steps — then a stable sort
+            # on done concentrates the stragglers (and the normal-needing
+            # hitters) into a few dense blocks, so phase 2's per-block
+            # early exits skip nearly everything. One argsort + ~10
+            # gathers per bounce is noise next to a 128-step DE march.
+            t1, done1, hit1, *_ = blocked_march(
+                ox, oy, oz, dx, dy, dz, t0p, tep, d0p, h0p, k1, False)
+            order = jnp.argsort(done1, stable=True)
+            g = lambda a: jnp.take(a, order)
+            t2, _, hit2, nx, ny, nz, u, v = blocked_march(
+                g(ox), g(oy), g(oz), g(dx), g(dy), g(dz), g(t1), g(tep),
+                g(done1), g(hit1), MAX_STEPS - k1, True)
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0], dtype=order.dtype))
+            s = lambda a: jnp.take(a, inv)
+            t, hit_mask = s(t2), s(hit2)
+            nx, ny, nz, u, v = s(nx), s(ny), s(nz), s(u), s(v)
+
+        flat = lambda a: a[:n]
         t, hit_mask = flat(t), flat(hit_mask)
         geom_n = Vec3(flat(nx), flat(ny), flat(nz))
         u, v = flat(u), flat(v)

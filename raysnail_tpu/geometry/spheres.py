@@ -31,6 +31,8 @@ class SphereGroup(NamedTuple):
     pk_bb: jax.Array | None = None     # (M, 8) f32
     pk_links: jax.Array | None = None  # (M, 4) i32
     pk_sph: jax.Array | None = None    # (B, 8, LANES) f32
+    pk_cbb: jax.Array | None = None    # (K, 64, 8) f32 two-level coarse cut
+    pk_crange: jax.Array | None = None # (K, 64, 4) i32 [start, end) ranges
 
 
 def pair_t(group: SphereGroup, origin: Vec3, direction: Vec3, time, t_min, t_max,
@@ -110,7 +112,8 @@ def intersect(group: SphereGroup, ray, t_min, t_max, *, moving: bool = False,
         # per-sphere rows (pk_sph is (B, 8, LANES)) and pair_t never reads them
         chunked = jax.tree_util.tree_map(
             lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]),
-            group._replace(pk_bb=None, pk_links=None, pk_sph=None),
+            group._replace(pk_bb=None, pk_links=None, pk_sph=None,
+                           pk_cbb=None, pk_crange=None),
         )
 
         def body(carry, g):
@@ -170,6 +173,7 @@ def _intersect_bvh(group: SphereGroup, ray, t_min, t_max, active=None,
         group.pk_bb, group.pk_links, group.pk_sph,
         jnp.float32(t_min), jnp.float32(t_max), kind="sphere",
         interpret=interpret,
+        cbb=group.pk_cbb, crange=group.pk_crange,
     ))
     t, cx, cy, cz, r, mat = (a[:n] for a in (t, cx, cy, cz, r, mat))
 

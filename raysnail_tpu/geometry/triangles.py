@@ -47,6 +47,8 @@ class TriangleGroup(NamedTuple):
     pk_bb: jax.Array | None = None     # (M2, 8) f32
     pk_links: jax.Array | None = None  # (M2, 4) i32
     pk_tri: jax.Array | None = None    # (B, NF_TRI, LANES) f32
+    pk_cbb: jax.Array | None = None    # (K, 64, 8) f32 two-level coarse cut
+    pk_crange: jax.Array | None = None # (K, 64, 4) i32 [start, end) ranges
 
 
 def _tri_hit(g: TriangleGroup, tri_idx, o: Vec3, d: Vec3, t_min, t_max):
@@ -312,6 +314,7 @@ def intersect_pallas(group: TriangleGroup, ray, t_min, t_max,
         group.pk_bb, group.pk_links, group.pk_tri,
         jnp.float32(t_min), jnp.float32(t_max), kind=kind,
         interpret=interpret,
+        cbb=group.pk_cbb, crange=group.pk_crange,
     )
     if P is not None:
         # misses carry t = BIG: exact under the one-hot matmul (0 + BIG)

@@ -254,26 +254,19 @@ def radiance_and_alive(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     shade = _make_shade(scene, cfg, _pallas_policy(scene, arrays, cfg))
 
     def bounce(carry, b):
-        if cfg.wavefront_sort:
-            # wavefront compaction: stable-partition live lanes to the front
-            # so traversal packets (128 consecutive lanes) are dense in live
-            # rays. Costs one argsort + ~16 gathers per bounce — kept behind
-            # a flag so the tradeoff is measurable per scene (bench --all
-            # reports book2 both ways).
-            o, d, time, T, L, alive, kv, rid = carry
-            order = jnp.argsort(~alive, stable=True)
-            take = lambda a: jnp.take(a, order, axis=0)
-            o, d, T, L = (v.map(take) for v in (o, d, T, L))
-            time, alive, kv, rid = (take(a) for a in (time, alive, kv, rid))
-        else:
-            o, d, time, T, L, alive = carry
-            kv = keys
-        kb = prng.fold_all(kv, b)
+        # NOTE: an optional per-bounce live-lane compaction ("wavefront
+        # sort": stable-partition alive lanes to the front so traversal
+        # packets are dense) was implemented and benched in rounds 3-4 and
+        # REMOVED in round 5: it measured a loss on every scene it was ever
+        # tried on (book2 0.78 vs 2.66 Mrays/s in the r4 sweep; r3: 0.35 vs
+        # 0.58) — the argsort + ~16 gathers per bounce always cost more
+        # than the packet-density win, and the path-regeneration integrator
+        # below solves the same occupancy problem without any data movement.
+        o, d, time, T, L, alive = carry
+        kb = prng.fold_all(keys, b)
         o, d, T, L, alive = shade(
             arrays, Ray(origin=o, direction=d, time=time), T, L, alive, kb)
         n_alive = jnp.sum(alive, dtype=jnp.int32)
-        if cfg.wavefront_sort:
-            return (o, d, time, T, L, alive, kv, rid), n_alive
         return (o, d, time, T, L, alive), n_alive
 
     init = (
@@ -282,8 +275,6 @@ def radiance_and_alive(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         Vec3.zeros(shape, ray.direction.x.dtype),
         jnp.ones(shape, bool),
     )
-    if cfg.wavefront_sort:
-        init = init + (keys, jnp.arange(shape[0], dtype=jnp.int32))
     body = bounce
     if cfg.remat_bounces:
         # reverse-mode stores only the per-bounce carries (o,d,T,L,alive ~13
@@ -292,14 +283,6 @@ def radiance_and_alive(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         body = jax.checkpoint(bounce)
     out_carry, alive_counts = jax.lax.scan(body, init, jnp.arange(cfg.max_depth))
     L = out_carry[4]
-    if cfg.wavefront_sort:
-        # scatter the accumulated radiance back into original ray order
-        rid = out_carry[7]
-        L = Vec3(
-            jnp.zeros(shape, L.x.dtype).at[rid].set(L.x),
-            jnp.zeros(shape, L.y.dtype).at[rid].set(L.y),
-            jnp.zeros(shape, L.z.dtype).at[rid].set(L.z),
-        )
     # rays still alive after the budget contribute nothing (camera.rs:161-163)
     return L, alive_counts
 
@@ -384,11 +367,20 @@ def radiance_regen(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
 
 
 def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
-                           cfg: RenderConfig, camera, key, spp: int, s0=0):
+                           cfg: RenderConfig, camera, key, spp: int, s0=0,
+                           record_lengths: bool = False):
     """Full-frame path regeneration with cross-pixel cell SHUFFLING:
     row-major radiance sums over stratification cells [s0, s0 + spp) —
     s0 may be a traced scalar, so a shard_map'd caller can hand each device
     its own cell range (parallel.make_sharded_frame_step).
+
+    record_lengths=True additionally returns the per-(cell, pixel) PATH
+    LENGTHS (spp, W*H) f32 (number of shades each cell's path executed,
+    in [1, max_depth]) as a third output — the bucketing signal for the
+    truncated-depth VJP scheme (diff/train.py): keys are (seed, pixel,
+    sample, bounce) in both integrators, so the scan integrator replays
+    the exact same path and its contributions past the recorded length
+    are identically zero.
 
     Plain per-pixel regeneration barely reduces the while_loop trip count
     (480 vs 512 on example.sdl): one worst-case pixel whose paths always run
@@ -411,7 +403,10 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     dtype = cfg.dtype
     sqrt_spp = cfg.sqrt_spp
     if cfg.max_depth <= 0 or spp <= 0:
-        return Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)
+        out = (Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32))
+        if record_lengths:
+            return out + (jnp.zeros((max(spp, 0), n_pix), dtype),)
+        return out
     policy = _pallas_policy(scene, arrays, cfg)
     shade = _make_shade(scene, cfg, policy)
 
@@ -499,11 +494,15 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                zt, zt, zt,
                jnp.ones(n_pix, bool), it0,
                jnp.asarray(0, jnp.int32), L_pix)
+        if record_lengths:
+            # tl: per-(lane, column) path length, written once at done;
+            # lo: per-(cell, pixel) rows, filled as columns retire
+            st0 = st0 + (zt, jnp.zeros((C, n_pix), dtype))
 
         def cond(st):
             return jnp.any(st[0] < C)
 
-        def retire_one(r, tx, ty, tz, L_pix):
+        def retire_one(r, tx, ty, tz, L_pix, *rest):
             """Fold column r % W (cell index r, every lane) into the pixel
             accumulator with its uniform slot->pixel roll, zero it, r += 1."""
             col = r % W
@@ -514,10 +513,15 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                                  jnp.roll(sl(tz), shift))
             z = jnp.zeros((n_pix, 1), dtype)
             upd = lambda t: jax.lax.dynamic_update_slice(t, z, (0, col))
-            return r + 1, upd(tx), upd(ty), upd(tz), L_pix
+            if record_lengths:
+                tl, lo = rest
+                lo = jax.lax.dynamic_update_slice(
+                    lo, jnp.roll(sl(tl), shift)[None, :], (r, 0))
+                rest = (upd(tl), lo)
+            return (r + 1, upd(tx), upd(ty), upd(tz), L_pix) + rest
 
         def body(st):
-            k, b, o, d, time, T, tx, ty, tz, alive, it, r, L_pix = st
+            k, b, o, d, time, T, tx, ty, tz, alive, it, r, L_pix, *rest = st
             p, _, _ = lane_pixel(k)
             keys_s = prng.fold_all(prng.fast_streams(key, p), cs0 + k)
             kb = prng.fold_all(keys_s, b)
@@ -530,15 +534,22 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
             tz = tz + oh * L_add.z[:, None]
             alive2 = alive2 & (b + 1 < cfg.max_depth)
             done = alive & (~alive2)
+            if record_lengths:
+                # the cell that just finished on a done lane ran b+1 shades
+                tl, lo = rest
+                tl = tl + oh * jnp.where(done, (b + 1).astype(dtype),
+                                         0.0)[:, None]
+                rest = (tl, lo)
             k = k + done.astype(jnp.int32)
             if W < C:
                 # retire at most one column per iteration (the slowest lane
                 # gates retirement, so it advances ~1 cell per mean path
                 # length anyway); skipped entirely when nothing can retire
                 can = (r < jnp.min(k)) & (r < C)
-                r, tx, ty, tz, L_pix = jax.lax.cond(
-                    can, retire_one, lambda r, a, bb, c, L: (r, a, bb, c, L),
-                    r, tx, ty, tz, L_pix)
+                r, tx, ty, tz, L_pix, *rest = jax.lax.cond(
+                    can, retire_one,
+                    lambda r, a, bb, c, L, *m: (r, a, bb, c, L) + m,
+                    r, tx, ty, tz, L_pix, *rest)
                 want = (~alive2) & (k < C)
                 regen = want & (k < r + W)
             else:
@@ -550,11 +561,14 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
             T = Vec3.where(regen, Vec3.ones((n_pix,), dtype), T)
             b = jnp.where(alive2, b + 1, 0)
             alive = alive2 | regen
-            return (k, b, o, d, time, T, tx, ty, tz, alive, it + 1, r, L_pix)
+            return (k, b, o, d, time, T, tx, ty, tz, alive, it + 1, r,
+                    L_pix) + tuple(rest)
 
         out = jax.lax.while_loop(cond, body, st0)
         tx, ty, tz, it = out[6], out[7], out[8], out[10]
         r, L_pix = out[11], out[12]
+        rest = out[13:]
+        lo = rest[1] if record_lengths else None
         if W < C:
             # columns r..C-1 (at most W of them: no lane ever started a cell
             # >= r + W) are still unretired
@@ -569,6 +583,13 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                     jnp.where(do, jnp.roll(sl(tx), shift), zero),
                     jnp.where(do, jnp.roll(sl(ty), shift), zero),
                     jnp.where(do, jnp.roll(sl(tz), shift), zero))
+                if record_lengths:
+                    tl = rest[0]
+                    idx = jnp.minimum(j, C - 1)
+                    cur = jax.lax.dynamic_slice(lo, (idx, 0), (1, n_pix))[0]
+                    row = jnp.where(do, jnp.roll(sl(tl), shift), cur)
+                    lo = jax.lax.dynamic_update_slice(lo, row[None, :],
+                                                      (idx, 0))
         else:
             # regroup: column k's row i is lane slot (i + k*S) mod N -> roll
             # forward (slot == pixel unless tile mode; see below)
@@ -577,10 +598,14 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                 L_pix = L_pix + Vec3(jnp.roll(tx[:, k], shift),
                                      jnp.roll(ty[:, k], shift),
                                      jnp.roll(tz[:, k], shift))
-        return (L_pix, it), None
+                if record_lengths:
+                    tl = rest[0]
+                    lo = jax.lax.dynamic_update_slice(
+                        lo, jnp.roll(tl[:, k], shift)[None, :], (k, 0))
+        return (L_pix, it), lo
 
     cs0s = jnp.asarray(s0, jnp.int32) + jnp.arange(n_chunks, dtype=jnp.int32) * C
-    (L_pix, it), _ = jax.lax.scan(
+    (L_pix, it), lens = jax.lax.scan(
         chunk, (Vec3.zeros((n_pix,), dtype), jnp.asarray(0, jnp.int32)), cs0s)
     if tile is not None:
         # slot -> row-major pixel: ONE gather outside all loops
@@ -595,4 +620,9 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
         perm = np.empty(n_pix, np.int32)
         perm[slot_pix] = m                     # slot owning pixel p
         L_pix = L_pix.map(lambda a: jnp.take(a, jnp.asarray(perm)))
+        if record_lengths:
+            lens = jnp.take(lens, jnp.asarray(perm), axis=2)
+    if record_lengths:
+        # (n_chunks, C, N) -> (spp, N): row s = global cell s0 + s
+        return L_pix, it, lens.reshape(spp, n_pix)
     return L_pix, it

@@ -78,10 +78,13 @@ CHUNK = int(os.environ.get("RAYSNAIL_BVH_CHUNK", "8"))
 _NOATTR = os.environ.get("RAYSNAIL_BVH_NOATTR") == "1"   # perf probe only
 _NOSWEEP = os.environ.get("RAYSNAIL_BVH_NOSWEEP") == "1"  # perf probe only
 WIN = 8  # nodes tested per walk iteration (sublane-aligned VMEM window)
+# two-level walk: the coarse cut is always padded to exactly this many
+# entries (8 aligned windows), so the kernel needs no per-scene static count
+COARSE_MAX = 64
 
 
-def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
-            n_orders: int, kind: str, stream: bool):
+def _kernel(rays, bbv, links, prim, bounds, *refs, n_nodes: int,
+            n_orders: int, kind: str, stream: bool, two_level: bool):
     """Refs:
       rays:  (GROUP, 8, PACKET) f32 — packed ray rows per packet:
              [ox oy oz dx dy dz t_cap pad]; t_cap <= 0 marks a dead lane
@@ -107,7 +110,22 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
     its own semaphore, so copy latency overlaps both the remaining issues
     and earlier sweeps. Lifts the whole-mesh VMEM-residency cap (~1.4M tris
     at 12 KB per 128-triangle block) to HBM capacity.
+
+    two_level=True adds the COARSE cut refs (VERDICT r4 item 1):
+      cbbv:   (K*COARSE_MAX, 8) f32 VMEM — cut-subtree-root bboxes in each
+              octant's entry order; padding entries are empty boxes
+      crange: (K*COARSE_MAX*4,) i32 SMEM — [start, end, pad, pad] DFS node
+              ranges per entry
+    The walk then becomes: vector-sweep the coarse windows to find the next
+    admitted subtree (pure VPU slab tests + one packed-bits transfer per
+    8-entry window), and run the serial link-resolution walk only INSIDE
+    that subtree's [start, end) range — the scalar chase through the
+    above-cut levels, paid per outer round by every packet, disappears.
     """
+    if two_level:
+        cbbv, crange, out, buf, *scratch = refs
+    else:
+        out, buf, *scratch = refs
     if stream:
         vbuf, sem = scratch
     t_min = bounds[0, 0]
@@ -162,11 +180,10 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                  jnp.ones_like(o_x)] + [jnp.zeros_like(o_x)] * 6,
                 axis=1)                                   # (PACKET, 16)
 
-        def slab_win(base):
-            """(WIN, 128) slab test of WIN consecutive nodes (rows of an
-            aligned VMEM window) against the lane-layout ray rows — (WIN, 1)
-            node bounds broadcast over lanes, full-sublane vector work."""
-            win = bbv[pl.ds(base, WIN), :]                   # (WIN, 8)
+        def slab_rows(win):
+            """(WIN, 128) slab test of WIN node bboxes (rows of an aligned
+            VMEM window) against the lane-layout ray rows — (WIN, 1) node
+            bounds broadcast over lanes, full-sublane vector work."""
             x0, y0, z0 = win[:, 0:1], win[:, 1:2], win[:, 2:3]
             x1, y1, z1 = win[:, 3:4], win[:, 4:5], win[:, 5:6]
             ax0 = (x0 - o_xl) * inv_xl
@@ -182,6 +199,9 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                                           jnp.maximum(ay0, ay1)),
                               jnp.maximum(az0, az1))
             return near, far
+
+        def slab_win(base):
+            return slab_rows(bbv[pl.ds(base, WIN), :])
 
         # per-ray admission cap: nothing past the root-box exit, the best
         # hit of a cheaper primitive group (t_cap), or a dead lane.
@@ -379,51 +399,113 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
         # ~0.85 us of pure branch/phi overhead per taken sweep), and (b) an
         # unconditional fori sweep of the buffered blocks. best_t tightens
         # between chunks, so subsequent walk segments keep pruning.
+        # With two_level, a COARSE advance phase precedes (a): vector-test
+        # 8-entry windows of cut-subtree-root bboxes until one admits, then
+        # walk only inside that subtree's DFS range.
+        if two_level:
+            NWC = COARSE_MAX // WIN
+            cb_base = oct_ * COARSE_MAX
+            cr_base = oct_ * (COARSE_MAX * 4)
 
-        def walk_seg(state):
-            # one iteration = one ALIGNED window of WIN consecutive DFS
-            # nodes: vector-test all WIN at once, pack per-node any() into
-            # the bits of ONE scalar (a single vector->scalar transfer
-            # instead of WIN jnp.any's), then resolve the skip-link
-            # transitions through the window on the scalar core —
-            # bit-identical traversal order to the one-node-per-step walk.
-            node, nbuf, btc = state
-            base = node // WIN * WIN
-            near, far = slab_win(bb_base + base)             # (WIN, 128)
-            admit = (near <= far) & (far >= t_min) & (near <= btc)
-            in_rng = (base + row_i) < n_nodes
-            bits_f = jnp.max(jnp.where(admit & in_rng, row_pw, 0.0),
-                             axis=1, keepdims=True)          # (WIN, 1)
-            bits = jnp.sum(bits_f, dtype=jnp.float32).astype(jnp.int32)
-
-            def win_step(st):
-                i, nbuf = st
-                nd = base + i
-                nl = lk_base + nd * 4
-                admit_i = ((bits >> i) & 1) > 0
-                is_leaf = links[nl + 1] > 0
-                take = admit_i & is_leaf
-                # unconditional store + predicated increment: a per-node
-                # branch (pl.when) here measured ~7 us/packet of pipeline
-                # stalls; a not-taken store is overwritten by the next node
-                buf[nbuf] = links[nl]
-                nbuf = jnp.where(take, nbuf + 1, nbuf)
-                nxt = jnp.where(admit_i & (~is_leaf), nd + 1, links[nl + 2])
-                return nxt - base, nbuf
-
-            i, nbuf = jax.lax.while_loop(
-                lambda st: (st[0] < WIN) & (base + st[0] < n_nodes)
-                           & (st[1] < CHUNK),
-                win_step, (node - base, nbuf))
-            return base + i, nbuf, btc
+            def coarse_bits(base, btc):
+                """Packed admission bits of one 8-entry coarse window."""
+                near, far = slab_rows(cbbv[pl.ds(cb_base + base, WIN), :])
+                admit = (near <= far) & (far >= t_min) & (near <= btc)
+                bits_f = jnp.max(jnp.where(admit, row_pw, 0.0),
+                                 axis=1, keepdims=True)
+                return jnp.sum(bits_f, dtype=jnp.float32).astype(jnp.int32)
 
         def outer(state):
-            node, st = state
+            c, node, st = state
             # best-so-far into lane layout once per segment (the walk prunes
             # against it); the sweep keeps updating the column-layout best_t
             btc = jnp.minimum(jnp.transpose(st[:, 0:1], (1, 0)), cap)
+
+            if two_level:
+                # ---- advance: next admitted coarse entry, if the current
+                # one is exhausted (node reached its end) or none is active
+                cc0 = jnp.minimum(jnp.maximum(c, 0), COARSE_MAX - 1)
+                e_cur = crange[cr_base + cc0 * 4 + 1]
+                exhausted = (c < 0) | (node >= e_cur)
+                cand = jnp.where(exhausted, c + 1, c)
+                w0 = jnp.where(exhausted, cand // WIN, NWC)
+                lo0 = cand % WIN
+
+                def wcond(s):
+                    w, lo, bits = s
+                    return (w < NWC) & ((bits >> lo) == 0)
+
+                def wbody(s):
+                    w, lo, bits = s
+                    w2 = w + 1
+                    return (w2, jnp.asarray(0, jnp.int32),
+                            coarse_bits(jnp.minimum(w2, NWC - 1) * WIN, btc))
+
+                w, lo, bits = jax.lax.while_loop(
+                    wcond, wbody,
+                    (w0, lo0,
+                     coarse_bits(jnp.minimum(w0, NWC - 1) * WIN, btc)))
+                sh = bits >> lo
+                ffs = jnp.asarray(WIN, jnp.int32)
+                for j in range(WIN - 1, -1, -1):  # first set bit of sh
+                    ffs = jnp.where(((sh >> j) & 1) > 0,
+                                    jnp.asarray(j, jnp.int32), ffs)
+                nxt = jnp.where(w < NWC, w * WIN + lo + ffs,
+                                jnp.asarray(COARSE_MAX, jnp.int32))
+                c = jnp.where(exhausted, nxt, c)
+                cc = jnp.minimum(c, COARSE_MAX - 1)
+                c_start = crange[cr_base + cc * 4]
+                c_end = crange[cr_base + cc * 4 + 1]
+                in_cut = c < COARSE_MAX
+                node = jnp.where(exhausted,
+                                 jnp.where(in_cut, c_start, n_nodes), node)
+                end_c = jnp.where(in_cut, c_end,
+                                  jnp.asarray(n_nodes, jnp.int32))
+            else:
+                end_c = n_nodes
+
+            def walk_seg(state):
+                # one iteration = one ALIGNED window of WIN consecutive DFS
+                # nodes: vector-test all WIN at once, pack per-node any()
+                # into the bits of ONE scalar (a single vector->scalar
+                # transfer instead of WIN jnp.any's), then resolve the
+                # skip-link transitions through the window on the scalar
+                # core — bit-identical traversal order to the
+                # one-node-per-step walk.
+                node, nbuf, btc = state
+                base = node // WIN * WIN
+                near, far = slab_win(bb_base + base)         # (WIN, 128)
+                admit = (near <= far) & (far >= t_min) & (near <= btc)
+                in_rng = (base + row_i) < end_c
+                bits_f = jnp.max(jnp.where(admit & in_rng, row_pw, 0.0),
+                                 axis=1, keepdims=True)      # (WIN, 1)
+                bits = jnp.sum(bits_f, dtype=jnp.float32).astype(jnp.int32)
+
+                def win_step(st):
+                    i, nbuf = st
+                    nd = base + i
+                    nl = lk_base + nd * 4
+                    admit_i = ((bits >> i) & 1) > 0
+                    is_leaf = links[nl + 1] > 0
+                    take = admit_i & is_leaf
+                    # unconditional store + predicated increment: a per-node
+                    # branch (pl.when) here measured ~7 us/packet of
+                    # pipeline stalls; a not-taken store is overwritten by
+                    # the next node
+                    buf[nbuf] = links[nl]
+                    nbuf = jnp.where(take, nbuf + 1, nbuf)
+                    nxt = jnp.where(admit_i & (~is_leaf), nd + 1,
+                                    links[nl + 2])
+                    return nxt - base, nbuf
+
+                i, nbuf = jax.lax.while_loop(
+                    lambda st: (st[0] < WIN) & (base + st[0] < end_c)
+                               & (st[1] < CHUNK),
+                    win_step, (node - base, nbuf))
+                return base + i, nbuf, btc
+
             node, nbuf, _ = jax.lax.while_loop(
-                lambda s: (s[0] < n_nodes) & (s[1] < CHUNK), walk_seg,
+                lambda s: (s[0] < end_c) & (s[1] < CHUNK), walk_seg,
                 (node, jnp.asarray(0, jnp.int32), btc))
 
             if stream:
@@ -450,13 +532,23 @@ def _kernel(rays, bbv, links, prim, bounds, out, buf, *scratch, n_nodes: int,
                     return sweep(m, st)
 
             st = jax.lax.fori_loop(0, nbuf, sweep_j, st)
-            return node, st
+            return c, node, st
 
         st0 = jnp.concatenate(
             [jnp.full((PACKET, 1), BIG, jnp.float32),
              jnp.zeros((PACKET, 7), jnp.float32)], axis=1)
-        _, st = jax.lax.while_loop(
-            lambda s: s[0] < n_nodes, outer, (start, st0))
+        if two_level:
+            # c = -1 forces the first advance; an all-miss packet starts at
+            # the COARSE_MAX sentinel and never enters the loop
+            c0 = jnp.where(jnp.max(cap) >= t_min, -1, COARSE_MAX).astype(
+                jnp.int32)
+            _, _, st = jax.lax.while_loop(
+                lambda s: s[0] < COARSE_MAX, outer,
+                (c0, jnp.asarray(0, jnp.int32), st0))
+        else:
+            _, _, st = jax.lax.while_loop(
+                lambda s: s[1] < n_nodes, outer,
+                (jnp.asarray(0, jnp.int32), start, st0))
 
         # dead lanes are swept alongside live ones (the leaf test is
         # packet-wide); report them as misses
@@ -475,10 +567,12 @@ STREAM_BYTES = int(os.environ.get("RAYSNAIL_BVH_STREAM_BYTES",
                                   str(64 * 1024 * 1024)))
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "interpret", "stream"))
+@functools.partial(jax.jit, static_argnames=("kind", "interpret", "stream",
+                                              "two_level"))
 def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
                  prim_packed, t_min, t_max, kind: str = "tri",
-                 interpret: bool = False, stream: bool | None = None):
+                 interpret: bool = False, stream: bool | None = None,
+                 cbb=None, crange=None, two_level: bool | None = None):
     """-> (t, a0, a1, a2, a3, mat_id), each (N,). Caller pads N to TILE_R.
 
     t_cap: per-ray admission cap (N,) — pass the best hit distance from
@@ -489,6 +583,12 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
 
     stream: None = auto (HBM leaf streaming when prim blocks exceed
     STREAM_BYTES); True/False force it (tests).
+
+    cbb (K, COARSE_MAX, 8) f32 / crange (K, COARSE_MAX, 4) i32: the
+    TWO-LEVEL coarse cut (scene._leaf_tree / accel.bvh.coarse_cut). When
+    given, the walk sweeps the cut-root bboxes vectorially and only chases
+    skip links inside admitted subtrees. RAYSNAIL_BVH_TWO_LEVEL=0 forces
+    the single-level walk even when the cut is present (perf A/B).
     """
     ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in origin_xyz)
     dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in dir_xyz)
@@ -510,6 +610,9 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
 
     if stream is None:
         stream = prim_packed.size * 4 > STREAM_BYTES
+    if two_level is None:  # auto: on whenever the cut is present
+        two_level = os.environ.get("RAYSNAIL_BVH_TWO_LEVEL", "1") != "0"
+    two_level = two_level and cbb is not None and crange is not None
 
     blk_spec = pl.BlockSpec((GROUP, 8, PACKET), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -532,12 +635,21 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
 
     bbv_spec = pl.BlockSpec(bbv.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = [blk_spec, bbv_spec, smem(links_flat), prim_spec,
+                smem(bounds)]
+    args = [rays, bbv, links_flat, prim_packed, bounds]
+    if two_level:
+        cbbv = jnp.asarray(cbb, jnp.float32).reshape(-1, 8)
+        crange_flat = jnp.asarray(crange, jnp.int32).reshape(-1)
+        in_specs += [pl.BlockSpec(cbbv.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     smem(crange_flat)]
+        args += [cbbv, crange_flat]
     out = pl.pallas_call(
         functools.partial(_kernel, n_nodes=m, n_orders=n_orders, kind=kind,
-                          stream=stream),
+                          stream=stream, two_level=two_level),
         grid=(n // TILE_R,),
-        in_specs=[blk_spec, bbv_spec, smem(links_flat), prim_spec,
-                  smem(bounds)],
+        in_specs=in_specs,
         out_specs=blk_spec,
         out_shape=jax.ShapeDtypeStruct((n // PACKET, 8, PACKET), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -547,7 +659,7 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
         ),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(rays, bbv, links_flat, prim_packed, bounds)
+    )(*args)
 
     fields = jnp.swapaxes(out, 0, 1).reshape(8, -1)  # (8, N)
     t, a0, a1, a2, a3, a4 = (fields[i] for i in range(6))

@@ -94,7 +94,7 @@ def make_sharded_frame_step(scene: scenelib.Scene, cfg: RenderConfig,
     from raysnail_tpu import integrator
 
     backend = "fast" if cfg.rng == "auto" else cfg.rng
-    if backend != "fast" or cfg.path_regen == "never" or cfg.wavefront_sort:
+    if backend != "fast" or cfg.path_regen == "never":
         return None
     axes = tuple(mesh.axis_names)
     n_dev = mesh.size

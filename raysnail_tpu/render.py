@@ -59,7 +59,7 @@ def sample_sums(scene: scenelib.Scene, cfg: RenderConfig,
         # — the per-LANE sample fold is what lets the regeneration integrator
         # advance each lane's sample counter independently
         keys0 = prng.fast_streams(key, pixel_ids)
-        if cfg.path_regen != "never" and not cfg.wavefront_sort:
+        if cfg.path_regen != "never":
             sums, _ = integrator.radiance_regen(
                 scene, arrays, cfg, camera, px, py, keys0,
                 sample_ids[0], int(sample_ids.shape[0]))
@@ -107,10 +107,10 @@ def make_frame_step(scene: scenelib.Scene, cfg: RenderConfig):
     """Jitted FULL-FRAME step through the shuffled path-regeneration
     integrator: step(arrays, camera, key) -> (W*H,) Vec3 radiance sums in
     ROW-MAJOR pixel order (all effective spp in one dispatch). Returns None
-    when the shuffle path doesn't apply (threefry RNG, regen disabled, or
-    wavefront_sort A/B) — callers fall back to the sample-step path."""
+    when the shuffle path doesn't apply (threefry RNG or regen disabled) —
+    callers fall back to the sample-step path."""
     backend = "fast" if cfg.rng == "auto" else cfg.rng
-    if backend != "fast" or cfg.path_regen == "never" or cfg.wavefront_sort:
+    if backend != "fast" or cfg.path_regen == "never":
         return None
     if scene.mandelbulbs:
         # the distance-field march skips all-miss 32k-lane BLOCKS

@@ -18,6 +18,7 @@ hot path has no transform facade.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import NamedTuple, Optional
 
 import jax
@@ -434,12 +435,12 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
         # packed BVH blocks for the pallas kernel: worth it for big static
         # sphere sets (rtow_13_1's 478 spheres); motion blur stays on the
         # dense path (centers move per-ray with time)
-        pk_bb = pk_links = pk_sph = None
+        pk_bb = pk_links = pk_sph = pk_cbb = pk_crange = None
         if n >= 64 and not moving:
             c = centers[:n]
             r = radii[:n]
             ones = np.ones(n)
-            pk_bb, pk_links, pk_sph = _pack_leaf_blocks(
+            pk_bb, pk_links, pk_cbb, pk_crange, pk_sph = _pack_leaf_blocks(
                 c - r[:, None], c + r[:, None],
                 [c[:, 0], c[:, 1], c[:, 2], r * r, ones,
                  np.asarray([s[3] for s in sph], np.float64), r],
@@ -453,6 +454,8 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             pk_bb=jnp.asarray(pk_bb) if pk_bb is not None else None,
             pk_links=jnp.asarray(pk_links) if pk_links is not None else None,
             pk_sph=jnp.asarray(pk_sph) if pk_sph is not None else None,
+            pk_cbb=jnp.asarray(pk_cbb) if pk_cbb is not None else None,
+            pk_crange=jnp.asarray(pk_crange) if pk_crange is not None else None,
         )
 
     box_group = None
@@ -469,7 +472,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             offs = np.asarray([b[4] if b[4] is not None else np.zeros(3) for b in box_list])
             inv_rows = tuple(Vec3.from_array(f32(rots[:, i, :])) for i in range(3))
             inv_off = Vec3.from_array(f32(offs))
-        pk_bb = pk_links = pk_box = None
+        pk_bb = pk_links = pk_box = pk_cbb = pk_crange = None
         if not any_oriented and len(box_list) >= BOX_BVH_MIN_BUILD:
             # packed BVH for the pallas traversal kernel: book2's 400-box
             # ground (scene.rs:341-358) re-swept the dense (rays x boxes)
@@ -479,7 +482,7 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             pmax_np = np.asarray([b[1] for b in box_list], np.float64)
             ones = np.ones(len(box_list))
             mats_np = np.asarray([b[2] for b in box_list], np.float64)
-            pk_bb, pk_links, pk_box = _pack_leaf_blocks(
+            pk_bb, pk_links, pk_cbb, pk_crange, pk_box = _pack_leaf_blocks(
                 pmin_np, pmax_np,
                 [pmin_np[:, 0], pmin_np[:, 1], pmin_np[:, 2],
                  pmax_np[:, 0], pmax_np[:, 1], pmax_np[:, 2],
@@ -488,10 +491,13 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
             pk_bb = jnp.asarray(pk_bb)
             pk_links = jnp.asarray(pk_links)
             pk_box = jnp.asarray(pk_box)
+            pk_cbb = jnp.asarray(pk_cbb)
+            pk_crange = jnp.asarray(pk_crange)
         box_group = boxes.BoxGroup(
             p_min=Vec3.from_array(pmin), p_max=Vec3.from_array(pmax),
             mat_id=mats, active=active, inv_rows=inv_rows, inv_off=inv_off,
             pk_bb=pk_bb, pk_links=pk_links, pk_box=pk_box,
+            pk_cbb=pk_cbb, pk_crange=pk_crange,
         )
 
     rect_group = None
@@ -640,11 +646,14 @@ def _compile(builder: SceneBuilder, dtype) -> Scene:
 def _leaf_tree(bb_min, bb_max):
     """Fat-leaf BVH (leaf = LANES prims) node arrays for the pallas
     traversal kernel. -> (pk_bb (K, M, 8) f32, pk_links (K, M, 4) i32,
-    order, pad mask, safe indices, n_blocks) where K = 8 direction-octant
-    node orders (front-to-back traversal) for trees that fit SMEM 8x, else
-    K = 1 (build order)."""
-    from raysnail_tpu.accel.bvh import build_bvh, relinearize_octants
-    from raysnail_tpu.ops.bvh_pallas import LANES
+    pk_cbb (K, 64, 8) f32, pk_crange (K, 64, 4) i32, order, pad mask, safe
+    indices, n_blocks) where K = 8 direction-octant node orders
+    (front-to-back traversal) for trees that fit SMEM 8x, else K = 1
+    (build order). pk_cbb/pk_crange are the TWO-LEVEL coarse cut
+    (accel.bvh.coarse_cut): <= 64 subtree-root bboxes + their DFS node
+    ranges, padded with never-admitting empty boxes."""
+    from raysnail_tpu.accel.bvh import build_bvh, coarse_cut, relinearize_octants
+    from raysnail_tpu.ops.bvh_pallas import COARSE_MAX, LANES
 
     fat = build_bvh(bb_min, bb_max, leaf_size=LANES)
     order = fat.prim_order
@@ -652,7 +661,11 @@ def _leaf_tree(bb_min, bb_max):
     safe = np.where(pad, 0, order)
 
     m = fat.bb_min.shape[0]
-    if m <= 1536:  # 8 orders cost 8*48B/node of the 1 MiB SMEM (~590 KB cap)
+    # 8 octant orders cost K*M*16 B of links SMEM (~590 KB usable): the cap
+    # covers the 200k-tri mesh's ~3.1k nodes (400 KB) — front-to-back
+    # ordering is what lets best_t prune divergent packets early there
+    oct_cap = int(_os.environ.get("RAYSNAIL_BVH_OCT_CAP", "4600"))
+    if m <= oct_cap:
         bb8, links8 = relinearize_octants(fat)
         links8[:, :, 0] //= LANES
         pk_bb, pk_links = bb8, links8
@@ -664,7 +677,20 @@ def _leaf_tree(bb_min, bb_max):
         pk_links[0, :, 0] = fat.first // LANES
         pk_links[0, :, 1] = fat.count
         pk_links[0, :, 2] = fat.miss
-    return pk_bb, pk_links, order, pad, safe, len(order) // LANES
+    k_ord = pk_bb.shape[0]
+    pk_cbb = np.zeros((k_ord, COARSE_MAX, 8), np.float32)
+    pk_cbb[:, :, 0:3] = 1e30   # padding entries: empty box, never admits
+    pk_cbb[:, :, 3:6] = -1e30
+    pk_crange = np.full((k_ord, COARSE_MAX, 4), m, np.int32)
+    for k in range(k_ord):
+        cuts = coarse_cut(pk_links[k, :, 1], pk_links[k, :, 2],
+                          max_entries=COARSE_MAX)
+        starts = np.asarray([c[0] for c in cuts])
+        pk_cbb[k, :len(cuts), :] = pk_bb[k, starts, :]
+        pk_crange[k, :len(cuts), 0] = starts
+        pk_crange[k, :len(cuts), 1] = np.asarray([c[1] for c in cuts])
+    return (pk_bb, pk_links, pk_cbb, pk_crange, order, pad, safe,
+            len(order) // LANES)
 
 
 def _pack_leaf_blocks(bb_min, bb_max, fields):
@@ -676,17 +702,19 @@ def _pack_leaf_blocks(bb_min, bb_max, fields):
     fields: list of (P,) float arrays, one per block row; NF rounds up to a
     multiple of 8 (f32 sublane tile).
     -> (pk_bb (K, M, 8) f32, pk_links (K, M, 4) i32,
+        pk_cbb (K, 64, 8) f32, pk_crange (K, 64, 4) i32,
         pk_prim (B, NF, LANES) f32)
     """
     from raysnail_tpu.ops.bvh_pallas import LANES
 
-    pk_bb, pk_links, order, pad, safe, n_blocks = _leaf_tree(bb_min, bb_max)
+    (pk_bb, pk_links, pk_cbb, pk_crange, order, pad, safe,
+     n_blocks) = _leaf_tree(bb_min, bb_max)
     nf = -(-len(fields) // 8) * 8
     pk = np.zeros((n_blocks, nf, LANES), np.float32)
     for i, f in enumerate(fields):
         vals = np.where(pad, 0.0, np.asarray(f, np.float64)[safe])
         pk[:, i, :] = vals.reshape(n_blocks, LANES)
-    return pk_bb, pk_links, pk
+    return pk_bb, pk_links, pk_cbb, pk_crange, pk
 
 
 def _pack_mxu_blocks(bb_min, bb_max, nrm, q, r, e1, e2, np0, attr_fields):
@@ -696,7 +724,8 @@ def _pack_mxu_blocks(bb_min, bb_max, nrm, q, r, e1, e2, np0, attr_fields):
     [valid, mat, n0, n1, n2]."""
     from raysnail_tpu.ops.bvh_pallas import LANES, MXU_LANES, NF_MXU
 
-    pk_bb, pk_links, order, pad, safe, n_blocks = _leaf_tree(bb_min, bb_max)
+    (pk_bb, pk_links, pk_cbb, pk_crange, order, pad, safe,
+     n_blocks) = _leaf_tree(bb_min, bb_max)
 
     def ro(a):
         """(P,) or (P,3) -> padded-reordered (n_blocks, LANES[, 3])."""
@@ -717,7 +746,7 @@ def _pack_mxu_blocks(bb_min, bb_max, nrm, q, r, e1, e2, np0, attr_fields):
     pk[:, 9, 128:256] = -np0_o                      # t: const = -(n . p0)
     for i, f in enumerate(attr_fields):
         pk[:, i, 512:640] = ro(f)
-    return pk_bb, pk_links, pk
+    return pk_bb, pk_links, pk_cbb, pk_crange, pk
 
 
 def _build_triangles(mesh_list, f32):
@@ -779,14 +808,14 @@ def _build_triangles(mesh_list, f32):
         q = np.cross(p0, e2)            # p0 x dd   (beta, d-part)
         r = np.cross(e1, p0)            # a x p0    (gamma, d-part)
         np0 = np.sum(nrm * p0, axis=1)  # n . p0
-        pk_bb, pk_links, pk_tri = _pack_mxu_blocks(
+        pk_bb, pk_links, pk_cbb, pk_crange, pk_tri = _pack_mxu_blocks(
             bb_min, bb_max, nrm, q, r, e1, e2, np0,
             [ones, mat.astype(np.float64),
              n0[:, 0], n0[:, 1], n0[:, 2], n1[:, 0], n1[:, 1], n1[:, 2],
              n2[:, 0], n2[:, 1], n2[:, 2]],
         )
     else:
-        pk_bb, pk_links, pk_tri = _pack_leaf_blocks(
+        pk_bb, pk_links, pk_cbb, pk_crange, pk_tri = _pack_leaf_blocks(
             bb_min, bb_max,
             [p0[:, 0], p0[:, 1], p0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
              e2[:, 0], e2[:, 1], e2[:, 2], ones,
@@ -810,6 +839,8 @@ def _build_triangles(mesh_list, f32):
         pk_bb=jnp.asarray(pk_bb),
         pk_links=jnp.asarray(pk_links),
         pk_tri=jnp.asarray(pk_tri),
+        pk_cbb=jnp.asarray(pk_cbb),
+        pk_crange=jnp.asarray(pk_crange),
     )
 
 

@@ -149,6 +149,32 @@ def test_mesh_scene_grads_are_finite():
     assert np.abs(np.asarray(g.tex_color1.x)).max() > 1e-7
 
 
+def test_bucketed_grads_match_per_cell():
+    """The length-bucketed pair-VJP scheme (sort all (pixel, cell) pairs by
+    the pass-1-recorded path length, truncate each batch's scan to its depth
+    class) must reproduce the per-cell full-depth gradients: truncation at
+    depth >= a path's length drops only identically-zero contributions."""
+    import optax
+
+    scene, cam = scene_and_cam()
+    target = np.zeros((CFG.height, CFG.width, 3), np.float32) + 0.25
+    opt = optax.sgd(1e-2)
+    ids = jnp.arange(CFG.effective_samples, dtype=jnp.int32)
+    key = prng.key(3)
+
+    stepB, osB, pB = make_train_step(scene, cam, CFG, target, optimizer=opt,
+                                     one_shot_max=4)  # bucket_vjp defaults on
+    stepC, osC, pC = make_train_step(scene, cam, CFG, target, optimizer=opt,
+                                     one_shot_max=4, bucket_vjp=False)
+    pB2, _, lB = stepB(pB, osB, key, ids)
+    pC2, _, lC = stepC(pC, osC, key, ids)
+    np.testing.assert_allclose(float(lB), float(lC), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pB2),
+                    jax.tree_util.tree_leaves(pC2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_accumulated_grads_match_one_shot():
     """The two-pass gradient-accumulation step must produce the SAME loss
     and parameter updates as the one-shot value_and_grad step."""

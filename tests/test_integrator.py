@@ -118,24 +118,6 @@ def test_book1_scene_compiles_and_renders():
     assert 0.1 < img.mean() < 0.9
 
 
-def test_wavefront_sort_is_invariant():
-    """cfg.wavefront_sort permutes lanes mid-scan but must not change any
-    pixel (keys travel with their rays; radiance is scattered back)."""
-    import numpy as np
-
-    from raysnail_tpu.render import render
-    from raysnail_tpu.scenes import cornell
-
-    from raysnail_tpu.config import RenderConfig
-
-    cfg = RenderConfig(width=40, height=40, samples=4, max_depth=4)
-    scene = cornell.cornell_box(carton=True, carton_rotation=False).compile()
-    cam = cornell.cornell_camera(cfg.width, cfg.height)
-    img_a = render(scene, cam, cfg, seed=5)
-    img_b = render(scene, cam, cfg.replace(wavefront_sort=True), seed=5)
-    np.testing.assert_allclose(img_a, img_b, atol=1e-6)
-
-
 def test_regen_chunk_width_is_invariant(monkeypatch):
     """RAYSNAIL_REGEN_C (shuffle chunk width) is a pure perf knob: cells
     accumulate in ascending cell order for any C; XLA fusion differences
