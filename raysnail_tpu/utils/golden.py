@@ -115,6 +115,54 @@ def golden_configs():
                 book1.balls_camera(cfg.width, cfg.height), cfg, 7)
 
     out["book1-spherebvh"] = book1_spherebvh_entry
+
+    def boxfield_entry():
+        # a 144-box field (>= BOX_BVH_MIN_BUILD) forced through the packed
+        # traversal kernel's "box" leaf kind (interpret on CPU): the box
+        # sweep's slab intervals, tie-break, face-uv reconstruction and
+        # entry/exit normals get a radiance-level anchor (VERDICT r4 item 8
+        # — the box kind leaned on kernel smokes only)
+        cfg = RenderConfig(width=64, height=40, samples=4, max_depth=4,
+                           box_bvh="force")
+        b = SceneBuilder()
+        gm = ir.Lambertian(ir.Constant((0.48, 0.83, 0.53)))
+        rng = np.random.default_rng(5)
+        for i in range(12):
+            for j in range(12):
+                b.add(ir.Box((-6.0 + i, 0.0, -6.0 + j),
+                             (-5.0 + i, 0.1 + 2.0 * rng.random(), -5.0 + j),
+                             gm))
+        b.add(ir.Sphere((0, 6, 0), 1.0,
+                        ir.DiffuseLight(ir.Constant((1.0, 1.0, 1.0)), 5.0)),
+              light=True)
+        cam = build_camera(look_from=(0, 4, 9), look_at=(0, 0, 0), fov=50,
+                           width=cfg.width, height=cfg.height)
+        return b.compile(), cam, cfg, 7
+
+    out["boxfield-kernel"] = boxfield_entry
+
+    def mesh_binned_entry():
+        # the mesh scene again, forced through the kernel WITH entry-octant
+        # supertile binning (ops/binning.py's one-hot MXU permutations) —
+        # on accelerators this is the default route, so the bin/unbin
+        # round-trip needs a radiance anchor, not just unit tests
+        cfg = RenderConfig(width=96, height=64, samples=4, max_depth=4,
+                           mesh_pallas="force", mesh_bin="entry")
+        v, f, n = torus_knot(n_seg=60, n_ring=12)
+        b = SceneBuilder()
+        b.add(ir.Mesh(vertices=v, indices=f, normals=n,
+                      material=ir.DiffuseMetal(400.0, ir.Constant((0.8, 0.6, 0.3)))))
+        b.add(ir.Sphere((0, -1001.3, 0), 1000.0,
+                        ir.Lambertian(ir.Constant((0.4, 0.4, 0.45)))))
+        b.add(ir.Sphere((4, 6, 3), 1.5,
+                        ir.DiffuseLight(ir.Constant((1.0, 0.95, 0.9)), 8.0)),
+              light=True)
+        b.set_background((0.05, 0.05, 0.08), (0.1, 0.12, 0.2))
+        cam = build_camera(look_from=(0, 1.5, 4), look_at=(0, 0, 0), fov=45,
+                           width=cfg.width, height=cfg.height)
+        return b.compile(), cam, cfg, 7
+
+    out["mesh-binned"] = mesh_binned_entry
     return out
 
 
