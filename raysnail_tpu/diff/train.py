@@ -212,11 +212,14 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                 # 1-3 bounces. Pass 1 recorded every pair's path length; sort
                 # all N*s pairs by it, batch them, and run each batch's VJP
                 # with the scan TRUNCATED to the batch's depth class
-                # ({2, 4, max_depth}; +1 safety margin because the scan can
-                # rarely flip a borderline branch the regen pass resolved the
-                # other way — cross-program float reassociation, measured
-                # ~0.2% of pairs on example.sdl). Work drops from
-                # depth*N*s to ~sum(ceil-class(len)) — ~2.5-3x less.
+                # ({1, 2, 4, max_depth}). No safety margin: the scan can
+                # flip a borderline branch the regen pass resolved the other
+                # way (cross-program float reassociation, ~0.2% of pairs on
+                # example.sdl) — but a flipped pair's path SUFFIX is a
+                # different path entirely, so its gradient is equally
+                # approximate at any truncation depth (the per-cell scheme
+                # shares the same inconsistency; FD tests bound it). Work
+                # drops from depth*N*s to ~sum(ceil-class(len)) — ~2.5-3x.
                 lens_flat = jax.lax.stop_gradient(lens).reshape(-1)
                 P = n_pix * s
                 order = jnp.argsort(lens_flat)
@@ -230,9 +233,9 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                                       jnp.zeros((padn,), cfg.dtype)])
                 ml = jnp.concatenate(
                     [sorted_len, jnp.full((padn,), 1.0, cfg.dtype)])
-                depths = sorted({min(2, cfg.max_depth), min(4, cfg.max_depth),
-                                 cfg.max_depth})
-                need = ml.reshape(B, M).max(axis=1) + 1.0  # +1 margin
+                depths = sorted({1, min(2, cfg.max_depth),
+                                 min(4, cfg.max_depth), cfg.max_depth})
+                need = ml.reshape(B, M).max(axis=1)
                 cls = jnp.zeros((B,), jnp.int32)
                 for i, dd in enumerate(depths[:-1]):
                     cls = jnp.where(need > dd, i + 1, cls)
@@ -278,7 +281,10 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
         except Exception:  # traced ids: the contract is contiguity
             contiguous = True
         backend = "fast" if cfg.rng == "auto" else cfg.rng
-        bucketed = (bucket_vjp and contiguous and backend == "fast"
+        import os
+        env_off = os.environ.get("RAYSNAIL_BUCKET_VJP") == "0"  # perf A/B
+        bucketed = (bucket_vjp and not env_off and contiguous
+                    and backend == "fast"
                     and cfg.path_regen != "never" and cfg.max_depth > 2)
         return _step(params, opt_state, key, jnp.asarray(sample_ids),
                      contiguous=contiguous, bucketed=bucketed)
