@@ -480,7 +480,12 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
     # uniform) as soon as every lane is past it, and a lane stalls only when
     # it would run W cells ahead of the slowest lane (law-of-large-numbers
     # concentration makes that rare at W ~ 6-8).
-    W = min(C, cfg.regen_window) if cfg.regen_window > 0 else C
+    # regen_window > 0: window with a lax.cond'd retire; < 0: |W| with an
+    # UNCONDITIONAL predicated retire — cond with large carried buffers can
+    # copy its operands on TPU, which the first A/B suggested wipes the
+    # traffic saving (W=8 cond variant measured -5% vs the full table)
+    W = min(C, abs(cfg.regen_window)) if cfg.regen_window != 0 else C
+    pred_retire = cfg.regen_window < 0 and W < C
     colsW = jnp.arange(W, dtype=jnp.int32)
 
     def chunk(carry, cs0):
@@ -541,7 +546,35 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
                                          0.0)[:, None]
                 rest = (tl, lo)
             k = k + done.astype(jnp.int32)
-            if W < C:
+            if W < C and pred_retire:
+                # unconditional PREDICATED retire: always read column r % W,
+                # roll it, and add/zero under the predicate — only (N,)-sized
+                # ops, no cond, no operand copies
+                can = (r < jnp.min(k)) & (r < C)
+                canf = can.astype(dtype)
+                col = r % W
+                shift = (r * S) % n_pix
+                sl = lambda t: jax.lax.dynamic_slice_in_dim(t, col, 1, 1)[:, 0]
+                sx, sy, sz = sl(tx), sl(ty), sl(tz)
+                L_pix = L_pix + Vec3(jnp.roll(sx, shift) * canf,
+                                     jnp.roll(sy, shift) * canf,
+                                     jnp.roll(sz, shift) * canf)
+                upd = lambda t, s: jax.lax.dynamic_update_slice(
+                    t, jnp.where(can, 0.0, s)[:, None], (0, col))
+                tx, ty, tz = upd(tx, sx), upd(ty, sy), upd(tz, sz)
+                if record_lengths:
+                    tl, lo = rest
+                    stl = sl(tl)
+                    idx = jnp.minimum(r, C - 1)
+                    cur = jax.lax.dynamic_slice(lo, (idx, 0), (1, n_pix))[0]
+                    row = jnp.where(can, jnp.roll(stl, shift), cur)
+                    lo = jax.lax.dynamic_update_slice(lo, row[None, :],
+                                                      (idx, 0))
+                    rest = (upd(tl, stl), lo)
+                r = r + can.astype(jnp.int32)
+                want = (~alive2) & (k < C)
+                regen = want & (k < r + W)
+            elif W < C:
                 # retire at most one column per iteration (the slowest lane
                 # gates retirement, so it advances ~1 cell per mean path
                 # length anyway); skipped entirely when nothing can retire
@@ -563,6 +596,19 @@ def radiance_regen_shuffle(scene: scenelib.Scene, arrays: scenelib.SceneArrays,
             alive = alive2 | regen
             return (k, b, o, d, time, T, tx, ty, tz, alive, it + 1, r,
                     L_pix) + tuple(rest)
+
+        # RAYSNAIL_REGEN_UNROLL=k runs k shade iterations per while trip:
+        # probes how much of the canonical body is per-trip cond/scheduling
+        # overhead (an extra iteration on an all-finished state is a no-op —
+        # nothing regenerates once k >= C, so only the tail is padded)
+        unroll = int(os.environ.get("RAYSNAIL_REGEN_UNROLL", "1"))
+        if unroll > 1:
+            one_iter = body
+
+            def body(st):
+                for _ in range(unroll):
+                    st = one_iter(st)
+                return st
 
         out = jax.lax.while_loop(cond, body, st0)
         tx, ty, tz, it = out[6], out[7], out[8], out[10]
