@@ -77,7 +77,12 @@ import os
 CHUNK = int(os.environ.get("RAYSNAIL_BVH_CHUNK", "8"))
 _NOATTR = os.environ.get("RAYSNAIL_BVH_NOATTR") == "1"   # perf probe only
 _NOSWEEP = os.environ.get("RAYSNAIL_BVH_NOSWEEP") == "1"  # perf probe only
-WIN = 8  # nodes tested per walk iteration (sublane-aligned VMEM window)
+# nodes tested per walk iteration (sublane-aligned VMEM window). Each window
+# costs one packed-bits vector->scalar transfer; wider windows amortize that
+# transfer over more nodes at the price of testing more nodes speculatively
+# past skip jumps. Env knob for perf probes (the walk dominates divergent
+# mesh packets — BASELINE.md round-5 split).
+WIN = int(os.environ.get("RAYSNAIL_BVH_WIN", "8"))
 # two-level walk: the coarse cut is always padded to exactly this many
 # entries (8 aligned windows), so the kernel needs no per-scene static count
 COARSE_MAX = 64
@@ -586,9 +591,11 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
 
     cbb (K, COARSE_MAX, 8) f32 / crange (K, COARSE_MAX, 4) i32: the
     TWO-LEVEL coarse cut (scene._leaf_tree / accel.bvh.coarse_cut). When
-    given, the walk sweeps the cut-root bboxes vectorially and only chases
-    skip links inside admitted subtrees. RAYSNAIL_BVH_TWO_LEVEL=0 forces
-    the single-level walk even when the cut is present (perf A/B).
+    given AND two_level is enabled, the walk sweeps the cut-root bboxes
+    vectorially and only chases skip links inside admitted subtrees.
+    Default OFF: measured neutral on the 200k-tri tree and a loss on small
+    trees (BASELINE.md round-5 findings); RAYSNAIL_BVH_TWO_LEVEL=1 or
+    two_level=True re-enables it for probes.
     """
     ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in origin_xyz)
     dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in dir_xyz)
@@ -610,8 +617,11 @@ def bvh_traverse(origin_xyz, dir_xyz, t_cap, bb_packed, links_packed,
 
     if stream is None:
         stream = prim_packed.size * 4 > STREAM_BYTES
-    if two_level is None:  # auto: on whenever the cut is present
-        two_level = os.environ.get("RAYSNAIL_BVH_TWO_LEVEL", "1") != "0"
+    if two_level is None:
+        # auto: OFF — the coarse sweep measured a loss on small trees and
+        # neutral on the 200k-tri tree (BASELINE.md round-5 findings);
+        # RAYSNAIL_BVH_TWO_LEVEL=1 re-enables it for probes
+        two_level = os.environ.get("RAYSNAIL_BVH_TWO_LEVEL", "0") == "1"
     two_level = two_level and cbb is not None and crange is not None
 
     blk_spec = pl.BlockSpec((GROUP, 8, PACKET), lambda i: (i, 0, 0),

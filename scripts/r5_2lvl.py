@@ -112,13 +112,15 @@ def run_one(size: str):
     o3b = tuple(pd(hp[i]) for i in range(3))
     d3b = tuple(pd(nd[i]) for i in range(3))
 
-    # correctness on-device: identical hit distances both ways
-    ta = np.asarray(kern(o3b, d3b, False)[1])
-    tb = np.asarray(kern(o3b, d3b, True)[1])
-    print(f"[{size}] two-level EXACT match: {np.array_equal(ta, tb)}",
-          flush=True)
+    only_1lvl = os.environ.get("RAYSNAIL_AB_1LVL_ONLY") == "1"
+    if not only_1lvl:
+        # correctness on-device: identical hit distances both ways
+        ta = np.asarray(kern(o3b, d3b, False)[1])
+        tb = np.asarray(kern(o3b, d3b, True)[1])
+        print(f"[{size}] two-level EXACT match: {np.array_equal(ta, tb)}",
+              flush=True)
 
-    for tl in (False, True):
+    for tl in ((False,) if only_1lvl else (False, True)):
         bench(o3c, d3c, tl, "coherent-primary")
         bench(o3b, d3b, tl, "bounce1-tile ")
 
