@@ -70,7 +70,7 @@ def make_loss_fn(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
 
 def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
                     target, optimizer=None, one_shot_max: int | None = None,
-                    bucket_vjp: bool = True):
+                    bucket_vjp: bool = False):
     """-> (step, opt_state0, params0). step(params, opt_state, key, ids) ->
     (params, opt_state, loss). Jitted; gradient flows through the full bounce
     loop.
@@ -282,8 +282,15 @@ def make_train_step(scene: scenelib.Scene, camera: Camera, cfg: RenderConfig,
             contiguous = True
         backend = "fast" if cfg.rng == "auto" else cfg.rng
         import os
-        env_off = os.environ.get("RAYSNAIL_BUCKET_VJP") == "0"  # perf A/B
-        bucketed = (bucket_vjp and not env_off and contiguous
+        # default OFF: on the v5e the scheme LOST to per-cell VJPs end to
+        # end (canonical 12.0 vs 14.6 Mrays/s same-session) despite an
+        # 87%-of-paths-die-by-bounce-2 length distribution (3.5x
+        # theoretical) — the 25.6M-pair argsort + batch machinery eats the
+        # truncation win (BASELINE.md round-5 findings). On CPU it WINS
+        # (+12%). RAYSNAIL_BUCKET_VJP=1 or bucket_vjp=True opts in.
+        env_on = os.environ.get("RAYSNAIL_BUCKET_VJP") == "1"
+        env_off = os.environ.get("RAYSNAIL_BUCKET_VJP") == "0"
+        bucketed = ((bucket_vjp or env_on) and not env_off and contiguous
                     and backend == "fast"
                     and cfg.path_regen != "never" and cfg.max_depth > 2)
         return _step(params, opt_state, key, jnp.asarray(sample_ids),

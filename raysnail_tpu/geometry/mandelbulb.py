@@ -265,7 +265,12 @@ class MandelbulbNode(NamedTuple):
         h0p = jnp.zeros_like(d0p)
 
         k1 = int(_os.environ.get("RAYSNAIL_BULB_K1", "16"))
-        if k1 >= MAX_STEPS or _os.environ.get("RAYSNAIL_BULB_COMPACT") == "0":
+        # compaction is OPT-IN (RAYSNAIL_BULB_COMPACT=1): the first TPU
+        # reading of the two-phase march LANDED BELOW the single-phase
+        # scheme on the passes4 bench (0.62 vs 0.78 Mrays/s) — the
+        # per-bounce argsort + ~10 gathers cost more than the straggler
+        # blocks they compact away at this scene's coherence
+        if k1 >= MAX_STEPS or _os.environ.get("RAYSNAIL_BULB_COMPACT") != "1":
             # single-phase path (the pre-r5 scheme; perf A/B)
             t, _, hit_mask, nx, ny, nz, u, v = blocked_march(
                 ox, oy, oz, dx, dy, dz, t0p, tep, d0p, h0p,
