@@ -38,11 +38,13 @@ import jax.numpy as jnp
 import os
 
 # Supertile size: lanes sorted together. Must be a multiple of the kernel
-# packet (128); callers pad ray batches to a multiple of B. Default = one
-# kernel grid program (bvh_pallas.TILE_R). Perf-probe env knob, captured
-# at import (bench A/Bs run per-config subprocesses): larger B = more
-# sorting freedom, P traffic grows linearly in B.
-B = int(os.environ.get("RAYSNAIL_BIN_B", "1024"))
+# packet (128); callers pad ray batches to a multiple of B. Perf-probe env
+# knob, captured at import (bench A/Bs run per-config subprocesses):
+# larger B = more sorting freedom (purer packets), P traffic grows
+# linearly in B. r5 same-session sweep on mesh+arealight:
+# 1024 -> 1.47, 2048 -> 1.58, 4096 -> 1.64 Mrays/s (+11%); mesh-200k
+# 2048 -> +3%. Default = 4096 (measured best).
+B = int(os.environ.get("RAYSNAIL_BIN_B", "4096"))
 N_KEYS = 9  # 8 entry/dir octants + 1 miss/dead bin
 
 # bins per mode (miss/dead bin is always the last key)

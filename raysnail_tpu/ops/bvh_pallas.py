@@ -82,7 +82,10 @@ _NOSWEEP = os.environ.get("RAYSNAIL_BVH_NOSWEEP") == "1"  # perf probe only
 # transfer over more nodes at the price of testing more nodes speculatively
 # past skip jumps. Env knob for perf probes (the walk dominates divergent
 # mesh packets — BASELINE.md round-5 split).
-WIN = int(os.environ.get("RAYSNAIL_BVH_WIN", "8"))
+# r5 same-session A/B on the 200k-tri mesh (kernel-only): WIN=16 read
+# primary 6.86 vs 7.22 ms and bounce1 27.5 vs 29.7 ms (+5-8%) — one
+# packed-bits transfer now covers 16 nodes. Default 16.
+WIN = int(os.environ.get("RAYSNAIL_BVH_WIN", "16"))
 # two-level walk: the coarse cut is always padded to exactly this many
 # entries (8 aligned windows), so the kernel needs no per-scene static count
 COARSE_MAX = 64
